@@ -1,0 +1,105 @@
+"""Tokenizer goldens from the reference's tests (tests/test_text.cpp:35-52,
+tests/test_n_gram.cpp:35-64) plus vectorized/scalar agreement."""
+
+import numpy as np
+import pandas as pd
+
+from alexandria_spark.functions.hashing import hash64
+from alexandria_spark.functions.tokenizer import (
+    ngrams,
+    query_terms,
+    token_counts,
+    tokenize,
+    tokenize_series,
+)
+
+
+def test_reference_goldens():
+    assert tokenize("C++ map. is the, best thing") == [
+        "c++", "map", "is", "the", "best", "thing",
+    ]
+    assert tokenize("C# is also good.") == ["c#", "is", "also", "good"]
+
+
+def test_boundaries_and_trim():
+    # boundary set is " \t,|!" — '.' is NOT a boundary, only trimmed
+    assert tokenize("a.b c") == ["a.b", "c"]
+    assert tokenize("foo|bar!baz,qux\tzap") == ["foo", "bar", "baz", "qux", "zap"]
+    # punct trimmed both ends, '+'/'#' kept
+    assert tokenize("...c++...") == ["c++"]
+    assert tokenize("(hello)") == ["hello"]
+    # interleaved whitespace+punct trimmed greedily (trim_both union set)
+    assert tokenize("foo.\n.") == ["foo"]
+    # inner newline survives (not a boundary, not trimmed from middle)
+    assert tokenize("a\nb") == ["a\nb"]
+
+
+def test_max_word_len_bytes():
+    assert tokenize("x" * 100) == ["x" * 100]
+    assert tokenize("x" * 101) == []
+    # 51 two-byte chars = 102 bytes > 100
+    assert tokenize("é" * 51) == []
+    assert tokenize("é" * 50) == ["é" * 50]
+
+
+def test_ascii_only_lowercase():
+    # C tolower does not touch non-ASCII bytes
+    assert tokenize("ÉCLAIR Abc") == ["ÉCLAIR", "abc"]
+    assert tokenize("Abc ÉX") == ["abc", "Éx"]
+
+
+def test_limit():
+    assert tokenize("one two three four", limit=2) == ["one", "two"]
+
+
+def test_vectorized_matches_scalar():
+    docs = [
+        "C++ map. is the, best thing",
+        "C# is also good.",
+        "",
+        "  ,,, !!",
+        "a.b|c d\te,f!g",
+        "x" * 101 + " ok",
+        "Abc ÉX naïve café,test",
+    ]
+    rows, words = tokenize_series(pd.Series(docs))
+    expected_rows, expected_words = [], []
+    for i, d in enumerate(docs):
+        for w in tokenize(d):
+            expected_rows.append(i)
+            expected_words.append(w)
+    assert rows.tolist() == expected_rows
+    assert words.tolist() == expected_words
+
+
+def test_token_counts():
+    docs = pd.Series(["the cat the dog", "cat", ""])
+    tc = token_counts(docs)
+    got = {(r.row, r.term): (r.tf, r.doc_len) for r in tc.itertuples()}
+    assert got == {
+        (0, "the"): (2, 4),
+        (0, "cat"): (1, 4),
+        (0, "dog"): (1, 4),
+        (1, "cat"): (1, 1),
+    }
+    for r in tc.itertuples():
+        assert r.term_id == np.uint64(hash64(r.term)).astype(np.int64)
+
+
+def test_query_terms_dedupe_and_cap():
+    qt = query_terms("foo foo bar", limit=10)
+    assert [t for t, _ in qt] == ["foo", "bar"]
+    # >10 words truncates BEFORE dedupe (reference tokenizes with limit)
+    q = " ".join(f"w{i}" for i in range(15))
+    assert len(query_terms(q, limit=10)) == 10
+
+
+def test_ngram_count_golden():
+    # reference tests/test_n_gram.cpp: 9 words, n=3 -> 24 n-grams
+    words = tokenize("the quick brown fox jumps over the lazy dog")
+    assert len(words) == 9
+    grams = ngrams(words, 3)
+    assert len(grams) == 24
+    assert grams[0] == "the"
+    assert grams[1] == "the quick"
+    assert grams[2] == "the quick brown"

@@ -43,8 +43,8 @@ def test_max_word_len_bytes():
 
 
 def test_ascii_only_lowercase():
-    # C tolower does not touch non-ASCII bytes
-    assert tokenize("ÉCLAIR Abc") == ["ÉCLAIR", "abc"]
+    # C tolower lowercases the ASCII letters but leaves 'É' untouched
+    assert tokenize("ÉCLAIR Abc") == ["Éclair", "abc"]
     assert tokenize("Abc ÉX") == ["abc", "Éx"]
 
 

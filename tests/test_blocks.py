@@ -1,0 +1,113 @@
+"""Round-trip + property tests for the delta+varint posting-block codec."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from alexandria_spark.plans.blocks import (
+    build_blocks,
+    decode_blocks,
+    varint_decode,
+    varint_encode,
+)
+
+
+def test_varint_roundtrip_edges():
+    vals = np.array(
+        [0, 1, 127, 128, 129, 2**14 - 1, 2**14, 2**32, 2**63, 2**64 - 1],
+        dtype=np.uint64,
+    )
+    enc, nbytes = varint_encode(vals)
+    assert nbytes.tolist() == [1, 1, 1, 2, 2, 2, 3, 5, 10, 10]
+    dec = varint_decode(enc.tobytes())
+    assert dec.tolist() == vals.tolist()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=200))
+def test_varint_roundtrip_property(xs):
+    vals = np.array(xs, dtype=np.uint64)
+    enc, _ = varint_encode(vals)
+    assert varint_decode(enc.tobytes()).tolist() == xs
+
+
+def _postings(groups):
+    """groups: list of (term_id, salt, [(doc_id, score, tf)]) sorted unsigned."""
+    rows = []
+    for term_id, salt, posts in groups:
+        for doc, score, tf in posts:
+            rows.append((term_id, salt, doc, score, tf))
+    return pd.DataFrame(rows, columns=["term_id", "salt", "doc_id", "score", "tf"])
+
+
+def test_block_roundtrip_multi_group():
+    rng = np.random.default_rng(7)
+    groups = []
+    for t in range(5):
+        docs = np.sort(
+            rng.choice(np.arange(-50, 10_000, dtype=np.int64).view(np.uint64), size=37, replace=False)
+        )
+        posts = [
+            (int(d.astype(np.int64) if hasattr(d, "astype") else d), float(s), int(tf))
+            for d, s, tf in zip(
+                docs.view(np.int64), rng.random(37).astype(np.float32), rng.integers(1, 9, 37)
+            )
+        ]
+        groups.append((t * 11 - 3, t % 2, posts))
+    pdf = _postings(groups)
+    blocks = build_blocks(pdf, block_size=8)
+    # block structure
+    assert (blocks["n"] <= 8).all()
+    per_group = blocks.groupby(["term_id", "salt"])["n"].sum()
+    assert (per_group == 37).all()
+    # max_score metadata
+    dec = decode_blocks(blocks, want_tf=True)
+    joined = dec.merge(pdf, on=["term_id", "doc_id"], suffixes=("_d", ""))
+    assert len(joined) == len(pdf)
+    assert np.allclose(joined["score_d"], joined["score"].astype(np.float32))
+    assert (joined["tf_d"] == joined["tf"]).all()
+
+
+def test_block_unsigned_doc_order_and_range():
+    # doc ids with the high bit set (negative int64) must sort AFTER positives
+    docs_i64 = [5, 100, -9223372036854775808, -5]  # unsigned: 5,100,2^63,2^64-5
+    pdf = pd.DataFrame(
+        {
+            "term_id": [1] * 4,
+            "salt": [0] * 4,
+            "doc_id": docs_i64,
+            "score": np.float32([0.1, 0.2, 0.3, 0.4]),
+            "tf": [1, 2, 3, 4],
+        }
+    )
+    blocks = build_blocks(pdf, block_size=2)
+    assert len(blocks) == 2
+    assert blocks.iloc[0]["min_doc"] == 5 and blocks.iloc[0]["max_doc"] == 100
+    dec = decode_blocks(blocks)
+    assert dec["doc_id"].tolist() == docs_i64
+
+
+def test_empty():
+    pdf = pd.DataFrame(
+        {"term_id": pd.Series([], dtype=np.int64), "salt": pd.Series([], dtype=np.int32),
+         "doc_id": pd.Series([], dtype=np.int64), "score": pd.Series([], dtype=np.float32),
+         "tf": pd.Series([], dtype=np.int64)}
+    )
+    assert len(build_blocks(pdf, 8)) == 0
+    assert len(decode_blocks(build_blocks(pdf, 8))) == 0
+
+
+def test_max_score_is_block_max():
+    pdf = pd.DataFrame(
+        {
+            "term_id": [9] * 6,
+            "salt": [0] * 6,
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "score": np.float32([0.5, 9.0, 0.1, 0.2, 7.0, 0.3]),
+            "tf": [1] * 6,
+        }
+    )
+    blocks = build_blocks(pdf, block_size=3)
+    assert blocks["max_score"].tolist() == [np.float32(9.0), np.float32(7.0)]
+    assert blocks["block_id"].tolist() == [0, 1]

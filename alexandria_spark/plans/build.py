@@ -1,0 +1,360 @@
+"""Index build pipeline: docs → tokenize → postings → BM25 → sharded blocks.
+
+Spark-first re-expression of the reference's build loop
+(reference src/indexer/console.cpp:279-319 + index_manager.cpp:58-110 +
+basic_index_builder.h merge at :198-211):
+
+  stage1  mapInPandas tokenize+count   — one Arrow pass over the docs; tf and
+          doc_len are computed inside the batch (map-side pre-aggregation),
+          so the shuffle carries one row per (doc, distinct term), not per
+          token. Output written once, partitioned by build wave.
+  stage2  corpus stats                 — doc_lengths (groupBy doc), term_stats
+          (groupBy term → document frequency), N / avgdl. The reference uses
+          a HyperLogLog doc counter (sharded_builder.h:72,103); at Spark
+          scale the exact distinct count is a cheap byproduct of the
+          doc_lengths aggregation.
+  stage3  per wave: join df stats → BM25 score (JVM-side, whole-stage
+          codegen; formula of sharded_builder.h:175-201) → salt skewed terms
+          → repartition by (shard, salt) → sortWithinPartitions by unsigned
+          doc id → mapInPandas block builder (delta+varint, block-max) →
+          dynamic-partition-overwrite parquet write.
+
+Skew: the reference *truncates* hot posting lists at
+ft_max_results_per_section (basic_index_builder.h:383-390). We instead salt
+terms whose df exceeds max_postings_per_salt across ceil(df/cap) salt
+buckets, so one executor never owns a whole hot list ("def", "return", ...)
+and no recall is lost.
+
+Resume: every stage/wave is an idempotent unit checkpointed via
+CheckpointLog; re-runs skip completed units (north_rule requirement).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import asdict
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from alexandria_spark.config import DEFAULT, EngineConfig
+from alexandria_spark.functions.hashing import murmur2_64, to_i64
+from alexandria_spark.functions.tokenizer import token_counts
+from alexandria_spark.plans.blocks import build_blocks
+from alexandria_spark.plans.checkpoint import CheckpointLog
+
+MIN_I64 = -(1 << 63)
+
+
+# ---------------------------------------------------------------- tokenize
+
+def term_doc_schema(keep_term: bool) -> StructType:
+    fields = [StructField("doc_id", LongType())]
+    if keep_term:
+        fields.append(StructField("term", StringType()))
+    fields += [
+        StructField("term_id", LongType()),
+        StructField("shard", IntegerType()),
+        StructField("tf", LongType()),
+        StructField("doc_len", LongType()),
+    ]
+    return StructType(fields)
+
+
+def tokenize_docs(
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_term: bool = False,
+) -> DataFrame:
+    """docs(id, text) → (doc_id, [term], term_id, shard, tf, doc_len).
+
+    Vectorized end to end: tokenizer + murmur2 + per-doc tf aggregation all
+    happen on the Arrow batch in numpy/pandas (no per-row Python).
+    """
+    num_shards = cfg.num_shards
+    schema = term_doc_schema(keep_term)
+
+    def fn(batches):
+        for pdf in batches:
+            tc = token_counts(pdf[text_col])
+            ids = pdf[id_col].to_numpy(np.int64)
+            tid = tc["term_id"].to_numpy(np.int64)
+            out = {
+                "doc_id": ids[tc["row"].to_numpy()],
+                "term_id": tid,
+                "shard": (tid.view(np.uint64) % np.uint64(num_shards)).astype(np.int32),
+                "tf": tc["tf"].to_numpy(np.int64),
+                "doc_len": tc["doc_len"].to_numpy(np.int64),
+            }
+            if keep_term:
+                out["term"] = tc["term"].to_numpy()
+            yield pd.DataFrame(out)[schema.fieldNames()]
+
+    return docs.select(id_col, text_col).mapInPandas(fn, schema)
+
+
+def with_doc_ids(docs: DataFrame, repo_col: str = "repo", path_col: str = "path") -> DataFrame:
+    """Add doc_id = murmur2_64(repo + "/" + path) and content_sha256 columns.
+
+    The analogue of the reference's URL::hash() = murmur(host+path)
+    (reference src/URL.cpp:87-93). sha256 runs JVM-side (built-in sha2);
+    only the murmur needs a (vectorized) pandas UDF.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(LongType())
+    def _doc_id(key: pd.Series) -> pd.Series:
+        return pd.Series(to_i64(murmur2_64(key.to_numpy(object))))
+
+    key = F.concat_ws("/", F.col(repo_col), F.col(path_col))
+    return docs.withColumn("doc_id", _doc_id(key)).withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256)
+    )
+
+
+# ---------------------------------------------------------------- scoring
+
+def bm25_score_col(n_docs: float, avg_dl: float, cfg: EngineConfig):
+    """BM25 exactly as the reference computes it (sharded_builder.h:175-201):
+    normalized tf f_q = tf/doc_len (NOT raw count), k1=1.2, b=0.75,
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1); float64 math, float32 store."""
+    dl = F.col("doc_len").cast("double")
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    f_q = F.col("tf").cast("double") / dl
+    denom = f_q + cfg.k1 * (1.0 - cfg.b + cfg.b * dl / F.lit(float(avg_dl)))
+    score = idf * (f_q * (cfg.k1 + 1.0)) / denom
+    if cfg.short_doc_zero:
+        score = F.when(dl < cfg.short_doc_min, F.lit(0.0)).otherwise(score)
+    return score.cast("float")
+
+
+def score_postings(term_doc: DataFrame, term_stats: DataFrame, n_docs: int,
+                   avg_dl: float, cfg: EngineConfig) -> DataFrame:
+    scored = term_doc.join(term_stats.select("term_id", "df"), "term_id")
+    return scored.withColumn("score", bm25_score_col(n_docs, avg_dl, cfg))
+
+
+# ---------------------------------------------------------------- blocks
+
+BLOCK_SCHEMA = StructType(
+    [
+        StructField("term_id", LongType()),
+        StructField("salt", IntegerType()),
+        StructField("block_id", IntegerType()),
+        StructField("n", IntegerType()),
+        StructField("min_doc", LongType()),
+        StructField("max_doc", LongType()),
+        StructField("max_score", FloatType()),
+        StructField("doc_deltas", BinaryType()),
+        StructField("scores", BinaryType()),
+        StructField("tfs", BinaryType()),
+        StructField("shard", IntegerType()),
+    ]
+)
+
+
+def blockify(scored: DataFrame, cfg: EngineConfig, postings_acc=None) -> DataFrame:
+    """scored postings → encoded block rows.
+
+    Salting: terms with df > max_postings_per_salt are spread over
+    ceil(df/cap) salt buckets keyed by xxhash64(doc_id), so the subsequent
+    repartition never concentrates a hot term on one task.
+    """
+    nsalts = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("df").cast("double") / F.lit(float(cfg.max_postings_per_salt))).cast("long"),
+    )
+    salted = scored.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("doc_id")), nsalts).cast("int")
+    ).withColumn("_u", F.col("doc_id").bitwiseXOR(F.lit(MIN_I64)))
+
+    parts = salted.repartition(cfg.shuffle_partitions, "shard", "salt").sortWithinPartitions(
+        "term_id", "salt", "_u"
+    )
+    num_shards = cfg.num_shards
+    block_size = cfg.block_size
+    keep_tf = cfg.keep_tf
+
+    def _finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = build_blocks(pdf, block_size, keep_tf)
+        tid = out["term_id"].to_numpy(np.int64)
+        out["shard"] = (tid.view(np.uint64) % np.uint64(num_shards)).astype(np.int32)
+        if postings_acc is not None:
+            postings_acc.add(int(len(pdf)))
+        return out
+
+    def fn(batches):
+        buf = None
+        for pdf in batches:
+            pdf = pdf[["term_id", "salt", "doc_id", "score", "tf"]]
+            buf = pdf if buf is None else pd.concat([buf, pdf], ignore_index=True)
+            if len(buf) == 0:
+                continue
+            # emit every complete (term, salt) group; hold back the tail group
+            t = buf["term_id"].to_numpy()
+            s = buf["salt"].to_numpy()
+            not_tail = (t != t[-1]) | (s != s[-1])
+            idx = np.nonzero(not_tail)[0]
+            if len(idx) == 0:
+                continue
+            cut = int(idx[-1]) + 1
+            ready, buf = buf.iloc[:cut], buf.iloc[cut:].reset_index(drop=True)
+            yield _finish(ready)
+        if buf is not None and len(buf):
+            yield _finish(buf)
+
+    return parts.mapInPandas(fn, BLOCK_SCHEMA)
+
+
+# ---------------------------------------------------------------- index
+
+class Index:
+    """Handle to an on-disk index: postings blocks + stats tables + meta."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    @property
+    def postings_path(self) -> str:
+        return os.path.join(self.path, "postings")
+
+    def meta(self) -> dict:
+        with open(os.path.join(self.path, "meta.json")) as fh:
+            return json.load(fh)
+
+    def config(self) -> EngineConfig:
+        return EngineConfig(**self.meta()["config"])
+
+    def postings(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.postings_path)
+
+    def doc_lengths(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.path, "doc_lengths"))
+
+    def term_stats(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.path, "term_stats"))
+
+    def checkpoints(self) -> list[dict]:
+        return CheckpointLog(self.path).records()
+
+
+def _fingerprint(cfg: EngineConfig, docs: DataFrame, extra: str = "") -> str:
+    try:
+        files = sorted(docs.inputFiles())
+    except Exception:
+        files = []
+    basis = json.dumps({"cfg": asdict(cfg), "files": files, "extra": extra}, sort_keys=True)
+    return hashlib.sha256(basis.encode()).hexdigest()
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_path: str,
+    cfg: EngineConfig = DEFAULT,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_term: bool = False,
+    run_id: str | None = None,
+    fail_after_waves: int | None = None,
+) -> Index:
+    """Build (or resume building) the inverted index at ``index_path``.
+
+    ``fail_after_waves`` is a test hook that injects a crash after N wave
+    units complete, to exercise checkpoint resume.
+    """
+    os.makedirs(index_path, exist_ok=True)
+    log = CheckpointLog(index_path)
+    fp = _fingerprint(cfg, docs)
+    run_id = run_id or f"run-{fp[:12]}"
+    idx = Index(index_path)
+    td_path = os.path.join(index_path, "term_doc")
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # ---- stage 1: tokenize + count -------------------------------------
+    if not log.is_done("stage1_term_doc", fp):
+        t0 = time.time()
+        term_doc = tokenize_docs(docs, cfg, id_col, text_col, keep_term)
+        term_doc = term_doc.withColumn("wave", F.pmod(F.col("shard"), F.lit(cfg.build_waves)))
+        term_doc.write.partitionBy("wave").mode("overwrite").parquet(td_path)
+        log.mark_done("stage1_term_doc", fp, run_id, wall_ms=int(1000 * (time.time() - t0)))
+
+    term_doc = spark.read.parquet(td_path)
+
+    # ---- stage 2: corpus stats ------------------------------------------
+    dl_path = os.path.join(index_path, "doc_lengths")
+    ts_path = os.path.join(index_path, "term_stats")
+    meta_path = os.path.join(index_path, "meta.json")
+    if not log.is_done("stage2_stats", fp):
+        t0 = time.time()
+        doc_lengths = term_doc.groupBy("doc_id").agg(F.first("doc_len").alias("doc_len"))
+        doc_lengths.write.mode("overwrite").parquet(dl_path)
+        term_doc.groupBy("term_id").agg(F.count("*").alias("df"), F.sum("tf").alias("total_tf")
+                                        ).write.mode("overwrite").parquet(ts_path)
+        stats = spark.read.parquet(dl_path).agg(
+            F.count("*").alias("n"), F.avg("doc_len").alias("avg")
+        ).collect()[0]
+        meta = {
+            "n_docs": int(stats["n"] or 0),
+            "avg_dl": float(stats["avg"] or 0.0),
+            "config": asdict(cfg),
+            "fingerprint": fp,
+            "run_id": run_id,
+        }
+        with open(meta_path, "w") as fh:
+            json.dump(meta, fh)
+        log.mark_done(
+            "stage2_stats", fp, run_id,
+            docs_processed=meta["n_docs"], wall_ms=int(1000 * (time.time() - t0)),
+        )
+
+    meta = idx.meta()
+    n_docs, avg_dl = meta["n_docs"], meta["avg_dl"]
+    term_stats = spark.read.parquet(ts_path)
+
+    # ---- stage 3: per-wave block build ----------------------------------
+    waves_done = 0
+    for wave in range(cfg.build_waves):
+        unit = f"wave_{wave}"
+        if log.is_done(unit, fp):
+            continue
+        t0 = time.time()
+        acc = spark.sparkContext.accumulator(0)
+        wave_td = term_doc.where(F.col("wave") == wave)
+        scored = score_postings(wave_td, term_stats, n_docs, avg_dl, cfg)
+        blocks = blockify(scored, cfg, postings_acc=acc).withColumn(
+            "wave", F.lit(wave)
+        )
+        (
+            blocks.write.partitionBy("wave", "shard")
+            .mode("overwrite")  # dynamic: only this wave's partitions
+            .parquet(idx.postings_path)
+        )
+        log.mark_done(
+            unit, fp, run_id,
+            partition_id=wave,
+            postings_written=int(acc.value),
+            wall_ms=int(1000 * (time.time() - t0)),
+        )
+        waves_done += 1
+        if fail_after_waves is not None and waves_done >= fail_after_waves:
+            raise RuntimeError(f"injected failure after {waves_done} waves")
+
+    return idx

@@ -1,0 +1,333 @@
+"""Query engine: top-k conjunctive/disjunctive BM25 over the block index.
+
+Two execution paths, both reading the same block tables:
+
+* ``search`` — the distributed DataFrame path. Partition-pruned scan of the
+  query terms' shards (the Spark analogue of the reference's per-token shard
+  lookups, sharded.h:121-146), driver-side doc-range block pruning for
+  conjunctive queries, vectorized block decode in mapInPandas, then
+  groupBy(doc_id) + TakeOrderedAndProject top-k. Scales to posting lists far
+  beyond driver memory.
+
+* ``LocalIndex`` — the low-latency serving path (the analogue of the
+  reference's RAM-cached readers, index_reader.cpp:59-89): block metadata is
+  pinned in memory, and queries run a vectorized term-at-a-time
+  quit/continue evaluation with block-max skipping — only blocks that can
+  still affect the top-k are decoded. This upgrades the reference's
+  section-at-a-time early exit (search_engine.h:298-352) with per-block
+  max-score bounds.
+
+Ordering contract (rank identity): score DESC, then doc_id ASC in *unsigned*
+64-bit order — the reference sorts by score desc with value-asc storage
+order as tie-break (index_manager.cpp:279-282, generic_record.h:50-68).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from alexandria_spark.config import DEFAULT, EngineConfig
+from alexandria_spark.functions.tokenizer import query_terms
+from alexandria_spark.plans.blocks import decode_blocks, varint_decode
+from alexandria_spark.plans.build import MIN_I64, Index
+
+POSTING_SCHEMA = StructType(
+    [
+        StructField("term_id", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("score", FloatType()),
+    ]
+)
+
+RESULT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("score", DoubleType()),
+        StructField("n_terms", IntegerType()),
+    ]
+)
+
+
+def _shard_of(term_id: int, num_shards: int) -> int:
+    return int(np.int64(term_id).astype(np.uint64) % np.uint64(num_shards))
+
+
+def _u(x: np.ndarray) -> np.ndarray:
+    return x.astype(np.int64, copy=False).view(np.uint64)
+
+
+def _decode_map(blocks: DataFrame) -> DataFrame:
+    def fn(batches):
+        for pdf in batches:
+            yield decode_blocks(pdf)[["term_id", "doc_id", "score"]]
+
+    return blocks.mapInPandas(fn, POSTING_SCHEMA)
+
+
+def _prune_and_blocks(meta: pd.DataFrame, term_ids: list[int]) -> pd.DataFrame:
+    """Driver-side conjunctive block pruning on metadata only.
+
+    A block of term t can contribute to an AND result only if its unsigned
+    [min_doc, max_doc] range overlaps at least one block range of EVERY
+    other query term (an AND doc must appear in all lists). Uses sorted
+    interval arrays + prefix-max, O(B log B) on block *metadata* — payloads
+    of pruned blocks are never read.
+    """
+    per_term = {}
+    for t in term_ids:
+        m = meta[meta["term_id"] == t]
+        if len(m) == 0:
+            return meta.iloc[0:0]
+        lo = _u(m["min_doc"].to_numpy())
+        hi = _u(m["max_doc"].to_numpy())
+        order = np.argsort(lo, kind="stable")
+        lo, hi = lo[order], hi[order]
+        pref_hi = np.maximum.accumulate(hi)
+        per_term[t] = (lo, pref_hi)
+
+    keep = np.ones(len(meta), dtype=bool)
+    blo = _u(meta["min_doc"].to_numpy())
+    bhi = _u(meta["max_doc"].to_numpy())
+    btid = meta["term_id"].to_numpy()
+    for t, (lo, pref_hi) in per_term.items():
+        others = btid != t
+        if not others.any():
+            continue
+        # overlap with some interval of t: exists interval with lo <= bhi and hi >= blo
+        idx = np.searchsorted(lo, bhi[others], side="right")
+        ok = idx > 0
+        ok[ok] = pref_hi[idx[ok] - 1] >= blo[others][ok]
+        k2 = keep[others]
+        k2 &= ok
+        keep[others] = k2
+    return meta[keep]
+
+
+def search(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    mode: str = "and",
+    k: int = 10,
+    cfg: EngineConfig | None = None,
+    prune: bool = True,
+) -> DataFrame:
+    """Top-k BM25 search. Returns DataFrame (doc_id, score, n_terms) ordered
+    score desc, unsigned doc_id asc, limited to k."""
+    cfg = cfg or index.config()
+    terms = query_terms(query, limit=cfg.query_max_words)
+    if not terms:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    term_ids = [tid for _, tid in terms]
+    shards = sorted({_shard_of(t, cfg.num_shards) for t in term_ids})
+
+    blocks = index.postings(spark).where(
+        F.col("shard").isin(shards) & F.col("term_id").isin(term_ids)
+    )
+
+    if mode == "and" and len(term_ids) > 1 and prune:
+        # metadata-only read (column pruning keeps payloads out of this scan)
+        meta = blocks.select(
+            "term_id", "salt", "block_id", "min_doc", "max_doc"
+        ).toPandas()
+        kept = _prune_and_blocks(meta, term_ids)
+        if len(kept) == 0:
+            return spark.createDataFrame([], RESULT_SCHEMA)
+        if len(kept) < len(meta):
+            keys = spark.createDataFrame(
+                kept[["term_id", "salt", "block_id"]]
+            )
+            blocks = blocks.join(
+                F.broadcast(keys), ["term_id", "salt", "block_id"], "left_semi"
+            )
+
+    postings = _decode_map(blocks)
+    agg = postings.groupBy("doc_id").agg(
+        F.sum(F.col("score").cast("double")).alias("score"),
+        F.count("*").alias("n_terms"),
+    )
+    if mode == "and":
+        agg = agg.where(F.col("n_terms") == len(term_ids))
+    agg = agg.withColumn("n_terms", F.col("n_terms").cast("int"))
+    return top_k(agg, k)
+
+
+def top_k(df: DataFrame, k: int, score_col: str = "score", id_col: str = "doc_id") -> DataFrame:
+    """ORDER BY score DESC, unsigned(doc_id) ASC LIMIT k — Catalyst turns this
+    into TakeOrderedAndProject (per-partition heap + driver merge), the
+    distributed analogue of the reference's nth_element top-k (top_k.h:38-66)."""
+    return (
+        df.orderBy(F.desc(score_col), F.asc(F.col(id_col).bitwiseXOR(F.lit(MIN_I64))))
+        .limit(k)
+    )
+
+
+def decorate(results: DataFrame, docs: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text", snippet_len: int = 140) -> DataFrame:
+    """Join results with the doc store and attach a snippet — the analogue of
+    the reference's return_record decoration (return_record.h:27-65, 140-char
+    snippet at :60-65). The doc-store side is joined, not collected."""
+    return results.join(docs, id_col, "left").withColumn(
+        "snippet", F.substring(F.col(text_col), 1, snippet_len)
+    )
+
+
+# ------------------------------------------------------------------ local
+
+class LocalIndex:
+    """RAM-pinned block index for low-latency serving.
+
+    Holds per-term block metadata + encoded payloads in numpy arrays;
+    ``search`` runs term-at-a-time quit/continue with block-max skipping:
+
+    * terms are processed in decreasing global max-score order;
+    * once the running kth-best score beats the summed max-scores of the
+      remaining terms, no NEW candidate docs can enter the top-k — the
+      evaluation switches to *continue* mode, where remaining terms only
+      update existing candidates and only blocks whose doc-id range
+      contains a candidate are decoded (block-max skipping);
+    * conjunctive mode drives from the rarest term (the reference's
+      shortest-list-first intersection, intersection.h:43-51) and decodes
+      only blocks containing surviving candidates.
+
+    Results are exact top-k (the skipped work provably cannot change them).
+    """
+
+    def __init__(self, spark: SparkSession, index: Index, cfg: EngineConfig | None = None):
+        self.cfg = cfg or index.config()
+        pdf = index.postings(spark).select(
+            "term_id", "salt", "block_id", "n", "min_doc", "max_doc",
+            "max_score", "doc_deltas", "scores",
+        ).toPandas()
+        self.terms: dict[int, dict] = {}
+        for tid, g in pdf.groupby("term_id", sort=False):
+            # order blocks by (salt, block_id) => unsigned-doc-sorted runs per salt
+            g = g.sort_values(["salt", "block_id"], kind="stable")
+            self.terms[int(tid)] = {
+                "min": _u(g["min_doc"].to_numpy()),
+                "max": _u(g["max_doc"].to_numpy()),
+                "ms": g["max_score"].to_numpy(np.float32),
+                "n": g["n"].to_numpy(np.int64),
+                "deltas": g["doc_deltas"].tolist(),
+                "scores": g["scores"].tolist(),
+                "np": int(g["n"].sum()),
+                "S": float(g["max_score"].max()) if len(g) else 0.0,
+            }
+
+    # -- block decode helpers -------------------------------------------
+    @staticmethod
+    def _decode(t: dict, which: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Decode the selected blocks of one term → (docs_u64, scores_f32)."""
+        if len(which) == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float32)
+        deltas = varint_decode(b"".join(t["deltas"][i] for i in which))
+        ns = t["n"][which]
+        starts = np.zeros(len(which), np.int64)
+        np.cumsum(ns[:-1], out=starts[1:])
+        cs = np.cumsum(deltas, dtype=np.uint64)
+        base = cs[starts] - deltas[starts]
+        docs = cs - np.repeat(base, ns)
+        scores = np.frombuffer(b"".join(t["scores"][i] for i in which), dtype="<f4")
+        return docs, scores
+
+    @staticmethod
+    def _blocks_containing(t: dict, cand: np.ndarray) -> np.ndarray:
+        """Indices of blocks whose [min,max] contains >=1 of sorted cand."""
+        lo = np.searchsorted(cand, t["min"], side="left")
+        hi = np.searchsorted(cand, t["max"], side="right")
+        return np.nonzero(hi > lo)[0]
+
+    def search(self, query: str, mode: str = "and", k: int = 10) -> list[tuple[int, float]]:
+        terms = query_terms(query, limit=self.cfg.query_max_words)
+        tids = [tid for _, tid in terms]
+        if not tids:
+            return []
+        if mode == "and":
+            res = self._search_and(tids)
+        else:
+            res = self._search_or(tids, k)
+        docs_u, scores = res
+        if len(docs_u) == 0:
+            return []
+        order = np.lexsort((docs_u, -scores))[:k]
+        docs_i = docs_u.view(np.int64)
+        return [(int(docs_i[i]), float(scores[i])) for i in order]
+
+    def _search_and(self, tids: list[int]) -> tuple[np.ndarray, np.ndarray]:
+        empty = (np.empty(0, np.uint64), np.empty(0, np.float64))
+        infos = []
+        for tid in tids:
+            t = self.terms.get(tid)
+            if t is None:
+                return empty
+            infos.append(t)
+        infos.sort(key=lambda t: t["np"])  # rarest list drives
+        drv = infos[0]
+        cand, cscore = self._decode(drv, np.arange(len(drv["n"])))
+        order = np.argsort(cand, kind="stable")
+        cand, cscore = cand[order], cscore[order].astype(np.float64)
+        for t in infos[1:]:
+            if len(cand) == 0:
+                return empty
+            which = self._blocks_containing(t, cand)
+            docs, scores = self._decode(t, which)
+            o = np.argsort(docs, kind="stable")
+            docs, scores = docs[o], scores[o]
+            pos = np.searchsorted(docs, cand, side="left")
+            pos_c = np.minimum(pos, len(docs) - 1) if len(docs) else pos
+            hit = len(docs) > 0 and (docs[pos_c] == cand)
+            if isinstance(hit, bool):
+                return empty
+            cand, cscore = cand[hit], cscore[hit] + scores[pos_c[hit]].astype(np.float64)
+        return cand, cscore
+
+    def _search_or(self, tids: list[int], k: int) -> tuple[np.ndarray, np.ndarray]:
+        infos = [self.terms[t] for t in tids if t in self.terms]
+        if not infos:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        infos.sort(key=lambda t: -t["S"])  # highest potential first
+        suffix = np.zeros(len(infos) + 1)
+        for i in range(len(infos) - 1, -1, -1):
+            suffix[i] = suffix[i + 1] + infos[i]["S"]
+
+        acc_docs = np.empty(0, np.uint64)
+        acc_scores = np.empty(0, np.float64)
+        frozen = False  # True => no new accumulators (quit -> continue phase)
+        for i, t in enumerate(infos):
+            if not frozen and len(acc_docs) >= k:
+                kth = np.partition(acc_scores, len(acc_scores) - k)[len(acc_scores) - k]
+                if kth >= suffix[i]:
+                    frozen = True  # docs unseen so far can never reach top-k
+            if frozen:
+                which = self._blocks_containing(t, acc_docs)
+            else:
+                which = np.arange(len(t["n"]))
+            docs, scores = self._decode(t, which)
+            if len(docs) == 0:
+                continue
+            o = np.argsort(docs, kind="stable")
+            docs, scores = docs[o], scores[o].astype(np.float64)
+            if frozen:
+                pos = np.searchsorted(acc_docs, docs)
+                pos_c = np.minimum(pos, len(acc_docs) - 1)
+                hit = acc_docs[pos_c] == docs
+                np.add.at(acc_scores, pos_c[hit], scores[hit])
+            else:
+                both = np.concatenate([acc_docs, docs])
+                vals = np.concatenate([acc_scores, scores])
+                uniq, inv = np.unique(both, return_inverse=True)
+                summed = np.zeros(len(uniq), np.float64)
+                np.add.at(summed, inv, vals)
+                acc_docs, acc_scores = uniq, summed
+        return acc_docs, acc_scores

@@ -1,0 +1,174 @@
+"""End-to-end index build + query tests.
+
+Model mirrors the reference's own test strategy (SURVEY.md §5): a tiny
+hand-checked micro-fixture (exact postings/stats, like
+tests/test_index_builder.cpp), then rank-identity of the full engine
+against the brute-force oracle on a seeded synthetic corpus.
+"""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from alexandria_spark.config import EngineConfig
+from alexandria_spark.plans.build import build_index, tokenize_docs, with_doc_ids
+from alexandria_spark.plans.query import LocalIndex, search
+from alexandria_spark.sources.tables import synth_corpus, synth_corpus_pdf
+from tests.oracle import OracleIndex
+
+CFG = EngineConfig(num_shards=8, block_size=16, shuffle_partitions=8,
+                   build_waves=2, max_postings_per_salt=64)
+
+MICRO = [(1, "the cat"), (2, "the the dog"), (3, "cat cat cat")]
+
+
+@pytest.fixture(scope="module")
+def micro_index(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idx_micro"))
+    docs = spark.createDataFrame(MICRO, ["doc_id", "text"])
+    return build_index(spark, docs, path, CFG)
+
+
+def test_micro_term_doc(spark):
+    docs = spark.createDataFrame(MICRO, ["doc_id", "text"])
+    td = tokenize_docs(docs, CFG, keep_term=True).collect()
+    got = {(r.doc_id, r.term): (r.tf, r.doc_len) for r in td}
+    assert got == {
+        (1, "the"): (1, 2), (1, "cat"): (1, 2),
+        (2, "the"): (2, 3), (2, "dog"): (1, 3),
+        (3, "cat"): (3, 3),
+    }
+
+
+def test_micro_stats(spark, micro_index):
+    meta = micro_index.meta()
+    assert meta["n_docs"] == 3
+    assert abs(meta["avg_dl"] - 8 / 3) < 1e-12
+    dl = {r.doc_id: r.doc_len for r in micro_index.doc_lengths(spark).collect()}
+    assert dl == {1: 2, 2: 3, 3: 3}
+    from alexandria_spark.functions.hashing import i64_hash64
+
+    ts = {r.term_id: r.df for r in micro_index.term_stats(spark).collect()}
+    assert ts == {i64_hash64("the"): 2, i64_hash64("cat"): 2, i64_hash64("dog"): 1}
+
+
+def _hand_bm25(tf, dl, df, n_docs=3, avg_dl=8 / 3, k1=1.2, b=0.75):
+    idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    f_q = tf / dl
+    return np.float32(idf * (f_q * (k1 + 1)) / (f_q + k1 * (1 - b + b * dl / avg_dl)))
+
+
+def test_micro_scores_exact(spark, micro_index):
+    res = search(spark, micro_index, "cat", mode="or", k=10).collect()
+    got = {r.doc_id: r.score for r in res}
+    assert set(got) == {1, 3}
+    assert got[3] == pytest.approx(float(_hand_bm25(3, 3, 2)), abs=0)
+    assert got[1] == pytest.approx(float(_hand_bm25(1, 2, 2)), abs=0)
+
+
+def test_micro_and(spark, micro_index):
+    res = search(spark, micro_index, "the cat", mode="and", k=10).collect()
+    assert [r.doc_id for r in res] == [1]
+    exp = float(_hand_bm25(1, 2, 2)) + float(_hand_bm25(1, 2, 2) * 0 + _hand_bm25(1, 2, 2))
+    # doc 1: score(the,1)+score(cat,1)
+    exp = float(np.float64(_hand_bm25(1, 2, 2)) + np.float64(_hand_bm25(1, 2, 2)))
+    assert res[0].score == pytest.approx(exp, rel=1e-7)
+
+
+def test_micro_absent_term(spark, micro_index):
+    assert search(spark, micro_index, "the zebra", mode="and", k=10).count() == 0
+    res = search(spark, micro_index, "the zebra", mode="or", k=10).collect()
+    assert {r.doc_id for r in res} == {1, 2}
+
+
+def test_micro_empty_query(spark, micro_index):
+    assert search(spark, micro_index, "  ,,! ", mode="and", k=10).count() == 0
+
+
+# ------------------------------------------------------------ synthetic
+
+QUERIES = [
+    ("def", "or"), ("def", "and"),
+    ("def return", "and"), ("def return", "or"),
+    ("parse tokenize", "and"), ("parse tokenize index", "or"),
+    ("c++", "or"), ("c#", "and"),
+    ("def def", "and"),              # duplicate term
+    ("zzz_absent", "or"),            # absent term
+    ("def zzz_absent", "and"),       # AND with absent term
+    ("merge shard query score block index parse tokenize var_0 var_1 var_2", "or"),  # >10 words
+    ("häst_Ö", "or"),                # unicode identifier
+]
+
+
+@pytest.fixture(scope="module")
+def synth(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idx_synth"))
+    pdf = synth_corpus_pdf(n_docs=150, seed=42)
+    docs = with_doc_ids(spark.createDataFrame(pdf))
+    idx = build_index(spark, docs, path, CFG, text_col="content")
+    # oracle over the same (doc_id, content) pairs
+    ids = {r["path"]: r["doc_id"] for r in docs.select("path", "doc_id").collect()}
+    oracle = OracleIndex(
+        [(ids[row.path], row.content) for row in pdf.itertuples()], CFG
+    )
+    return idx, oracle
+
+
+def test_rank_identity_distributed(spark, synth):
+    idx, oracle = synth
+    for q, mode in QUERIES:
+        exp = oracle.search(q, mode, k=10)
+        got = [(r.doc_id, r.score) for r in search(spark, idx, q, mode, k=10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in exp], (q, mode, got[:3], exp[:3])
+        assert np.allclose([s for _, s in got], [s for _, s in exp], rtol=1e-9), (q, mode)
+
+
+def test_rank_identity_local(spark, synth):
+    idx, oracle = synth
+    local = LocalIndex(spark, idx, CFG)
+    for q, mode in QUERIES:
+        exp = oracle.search(q, mode, k=10)
+        got = local.search(q, mode, k=10)
+        assert [d for d, _ in got] == [d for d, _ in exp], (q, mode)
+        assert np.allclose([s for _, s in got], [s for _, s in exp], rtol=1e-9), (q, mode)
+
+
+def test_topk_k1000(spark, synth):
+    idx, oracle = synth
+    exp = oracle.search("def", "or", k=1000)
+    got = [(r.doc_id, r.score) for r in search(spark, idx, "def", "or", k=1000).collect()]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+
+
+def test_sha256_invariant(spark):
+    docs = with_doc_ids(synth_corpus(spark, 30, seed=7))
+    import hashlib
+
+    for r in docs.select("content", "content_sha256").collect():
+        assert r.content_sha256 == hashlib.sha256(r.content.encode()).hexdigest()
+
+
+def test_salting_spreads_hot_terms(spark, tmp_path):
+    # 'def' hits most docs; with a tiny salt cap its postings must span >1 salt
+    cfg = EngineConfig(num_shards=4, block_size=8, shuffle_partitions=4,
+                       build_waves=1, max_postings_per_salt=16)
+    docs = with_doc_ids(synth_corpus(spark, 150, seed=42))
+    idx = build_index(spark, docs, str(tmp_path / "idx"), cfg, text_col="content")
+    from alexandria_spark.functions.hashing import i64_hash64
+    import pyspark.sql.functions as F
+
+    salts = (
+        idx.postings(spark)
+        .where(F.col("term_id") == i64_hash64("def"))
+        .select("salt").distinct().count()
+    )
+    assert salts > 1
+    # and queries on the salted term still match the oracle
+    pdf = synth_corpus_pdf(150, seed=42)
+    ids = {r["path"]: r["doc_id"] for r in docs.select("path", "doc_id").collect()}
+    oracle = OracleIndex([(ids[r.path], r.content) for r in pdf.itertuples()], cfg)
+    got = LocalIndex(spark, idx, cfg).search("def return", "and", k=10)
+    exp = oracle.search("def return", "and", k=10)
+    assert [d for d, _ in got] == [d for d, _ in exp]

@@ -1,0 +1,202 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (content-hash groupBy), MinHash signatures over 3-gram token shingles
+(LSH-ready), and SimHash fingerprints. All are pure built-in-function
+DataFrame pipelines (JVM-side, codegen-friendly) — the hashes are derived
+from md5 so the DuckDB oracle can reproduce them bit-for-bit.
+
+At 100 TB: exact dedup is a single hash-shuffle groupBy; MinHash signatures
+are a map-only pass (shuffle only the (doc, band) pairs for the LSH
+bucket-join); SimHash is a map-only pass + 16 small aggregations fused into
+one groupBy.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from alexandria_spark.operators.sql_common import SQL_PRELUDE
+from alexandria_spark.operators.text import doc_term_counts, doc_tokens_pos
+from alexandria_spark.sources.tables import documents
+
+# fixed minhash permutations (a*x + b) mod P over x in [0, P)
+P31 = 2147483647
+PERMS = [(131, 7), (1009, 17), (2003, 29), (5011, 43),
+         (7001, 61), (9001, 79), (11003, 97), (13001, 113)]
+
+
+def md5_int60(col):
+    """Deterministic 60-bit integer hash reproducible in DuckDB:
+    first 15 hex chars of md5 as a BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_dups(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content hash — hash-groupBy, one shuffle."""
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.count("*").alias("dup_count"), F.min("doc_id").alias("keep_doc"))
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — n-gram token shingles (n=3), space-joined like the
+    reference's n-gram keys (text.cpp:360-373)."""
+    toks = doc_tokens_pos(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cols = [F.col("term")] + [F.lead("term", i).over(w).alias(f"w{i}") for i in range(1, n)]
+    tri = toks.select("doc_id", *cols)
+    cond = F.lit(True)
+    for i in range(1, n):
+        cond = cond & F.col(f"w{i}").isNotNull()
+    parts = [F.col("term")] + [F.col(f"w{i}") for i in range(1, n)]
+    return tri.where(cond).select(
+        "doc_id", F.concat_ws(" ", *parts).alias("shingle")
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, perm_id, minh) — 8-permutation MinHash over 3-gram shingles."""
+    sh = shingles(docs).withColumn("x", md5_int60(F.col("shingle")) % P31)
+    perms = sh.sparkSession.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(PERMS)], ["perm_id", "a", "b"]
+    )
+    return (
+        sh.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "perm_id")
+        .agg(F.min((F.col("a") * F.col("x") + F.col("b")) % P31).alias("minh"))
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame, band_size: int = 4) -> DataFrame:
+    """(doc_a, doc_b) candidate near-duplicate pairs: docs sharing a full
+    MinHash band (banding → bucket-join, the scalable LSH path)."""
+    sig = minhash_signatures(docs).withColumn(
+        "band", (F.col("perm_id") / band_size).cast("int")
+    )
+    bands = sig.groupBy("doc_id", "band").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list(
+            F.concat_ws(":", F.col("perm_id"), F.col("minh"))
+        ))).alias("band_key")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash16(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 16-bit SimHash: md5-derived term hash, tf-weighted
+    bit majority vote."""
+    tc = doc_term_counts(docs).withColumn("h", md5_int60(F.col("term")) % 65536)
+    bits = tc.select(
+        "doc_id", "tf", "h", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b")
+    )
+    contrib = bits.withColumn(
+        "c", F.col("tf") * (F.expr("shiftright(h, cast(b as int)) % 2") * 2 - 1)
+    )
+    per_bit = contrib.groupBy("doc_id", "b").agg(F.sum("c").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0,
+                   F.expr("shiftleft(cast(1 as bigint), cast(b as int))")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def ngram_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — exact shingle-set Jaccard for candidate
+    pairs (verification stage after LSH)."""
+    sh = shingles(docs).distinct()
+    a = sh.alias("sa").join(pairs, F.col("sa.doc_id") == F.col("doc_a"))
+    both = a.join(
+        sh.alias("sb"),
+        (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sa.shingle") == F.col("sb.shingle")),
+        "left",
+    )
+    inter = both.groupBy("doc_a", "doc_b").agg(
+        F.count(F.col("sb.shingle")).alias("inter")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4).alias("jaccard"),
+        )
+    )
+
+
+# ------------------------------------------------------------ suite entries
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dups(documents(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = (
+    "SELECT md5(text) AS content_hash, count(*) AS dup_count, "
+    "min(doc_id) AS keep_doc FROM documents GROUP BY md5(text)"
+)
+
+
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(documents(spark, sf_dir))
+
+
+_PERM_VALUES = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(PERMS))
+
+SQL_MINHASH = SQL_PRELUDE + f"""
+, tri AS (
+  SELECT doc_id, term AS w1,
+         lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+         lead(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+  FROM tok
+),
+sh AS (
+  SELECT doc_id, (w1 || ' ' || w2 || ' ' || w3) AS shingle
+  FROM tri WHERE w2 IS NOT NULL AND w3 IS NOT NULL
+),
+shx AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647 AS x
+  FROM sh
+),
+perms(perm_id, a, b) AS (VALUES {_PERM_VALUES})
+SELECT doc_id, perm_id, min((a * x + b) % 2147483647) AS minh
+FROM shx CROSS JOIN perms GROUP BY doc_id, perm_id
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash16(documents(spark, sf_dir))
+
+
+SQL_SIMHASH = SQL_PRELUDE + """
+, th AS (
+  SELECT doc_id, tf,
+         CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) % 65536 AS h
+  FROM tf
+),
+bits AS (SELECT doc_id, tf, h, unnest(range(16)) AS b FROM th),
+per_bit AS (
+  SELECT doc_id, b, sum(tf * (((h >> CAST(b AS INTEGER)) % 2) * 2 - 1)) AS s
+  FROM bits GROUP BY doc_id, b
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS simhash
+FROM per_bit GROUP BY doc_id
+"""
+
+ENTRIES = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "minhash_signatures": (q_minhash, SQL_MINHASH),
+    "simhash": (q_simhash, SQL_SIMHASH),
+}

@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline; the scale path buckets
+vectors with sign-random-projection LSH so the expensive pairwise work is a
+co-partitioned bucket join instead of a cross join. Dot products run
+JVM-side via zip_with/aggregate (no Python in the loop).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from alexandria_spark.sources.tables import load_table
+
+DIM = 64
+N_PLANES = 4
+
+
+def _dot(a, b):
+    """Sequential-fold dot product of two array<double> columns (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine_topk(vectors: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Exact brute-force cosine top-k against the vector with vec_id=query.
+
+    One partition-parallel scan + TakeOrderedAndProject; ranking uses the
+    rounded similarity with vec_id tiebreak (deterministic boundary).
+    """
+    q = vectors.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qe")
+    )
+    scored = vectors.where(F.col("vec_id") != query_vec_id).crossJoin(F.broadcast(q))
+    cos = _dot(F.col("embedding"), F.col("qe")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qe"))
+    )
+    return (
+        scored.select("vec_id", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def lsh_buckets(vectors: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """(vec_id, bucket) — sign-random-projection bucket per vector.
+
+    Plane weights are a fixed deterministic integer lattice
+    p(j, d) = ((31*d + 17*j) % 7) - 3, reproducible in plain SQL. At scale,
+    ANN = self-join on bucket (co-partitioned) instead of a cross join.
+    """
+    terms = []
+    for j in range(n_planes):
+        coeffs = [((31 * d + 17 * j) % 7) - 3 for d in range(DIM)]
+        dot_j = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array([F.lit(float(c)) for c in coeffs]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        terms.append(F.when(dot_j > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    bucket = terms[0]
+    for t in terms[1:]:
+        bucket = bucket + t
+    return vectors.select("vec_id", bucket.cast("long").alias("bucket"))
+
+
+def ann_lsh_topk(vectors: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Approximate top-k: exact cosine but only within the query's LSH bucket."""
+    b = lsh_buckets(vectors)
+    qb = b.where(F.col("vec_id") == query_vec_id).select(F.col("bucket").alias("qbucket"))
+    cands = vectors.join(b, "vec_id").crossJoin(F.broadcast(qb)).where(
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != query_vec_id)
+    )
+    q = vectors.where(F.col("vec_id") == query_vec_id).select(F.col("embedding").alias("qe"))
+    cos = _dot(F.col("embedding"), F.col("qe")) / (_norm(F.col("embedding")) * _norm(F.col("qe")))
+    return (
+        cands.crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+# ------------------------------------------------------------ suite entries
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(load_table(spark, sf_dir, "embeddings"), 0, 10)
+
+
+def _sql_dot(a: str, b: str) -> str:
+    # sequential fold exactly like F.aggregate: ((0 + a1*b1) + a2*b2) + ...
+    return (
+        f"list_aggregate(list_transform(range(1, {DIM + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+    )
+
+
+SQL_COSINE_TOPK = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round({_sql_dot('e.embedding', 'q.qe')}
+             / (sqrt({_sql_dot('e.embedding', 'e.embedding')})
+                * sqrt({_sql_dot('q.qe', 'q.qe')})), 4) AS cos_sim
+FROM embeddings e CROSS JOIN q
+WHERE vec_id != 0
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_buckets(load_table(spark, sf_dir, "embeddings"))
+
+
+def _sql_plane(j: int) -> str:
+    return (
+        f"list_aggregate(list_transform(range(1, {DIM + 1}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) "
+        f"* CAST((((31 * (i - 1) + 17 * {j}) % 7) - 3) AS DOUBLE)), 'sum')"
+    )
+
+
+SQL_LSH_BUCKETS = "SELECT vec_id, (" + " + ".join(
+    f"(CASE WHEN {_sql_plane(j)} > 0 THEN {1 << j} ELSE 0 END)" for j in range(N_PLANES)
+) + ")::BIGINT AS bucket FROM embeddings"
+
+ENTRIES = {
+    "embedding_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "embedding_lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
+}

@@ -1,0 +1,246 @@
+"""Driver-facing query suite: every operator as a (Spark DataFrame fn, DuckDB
+oracle SQL) pair over the /root/testdata tables.
+
+Each entry's Spark side is built from the engine's operators; the SQL side is
+an independent ANSI-SQL restatement runnable by DuckDB on the same parquet
+views. Column names/aliases match exactly on both sides (the driver sorts by
+column name and value-hashes).
+
+Floating-point discipline: per-(term,doc) BM25 scores are float32 (matching
+the reference's stored floats); query scores are float64 sums of those
+float32s; hashed score outputs are rounded to 4 decimals and top-k entries
+rank by the ROUNDED score with doc_id tiebreak so both engines select the
+same boundary rows.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from alexandria_spark.config import DEFAULT, EngineConfig
+from alexandria_spark.operators import analysis, dedup, multimodal, similarity
+from alexandria_spark.operators.text import (
+    bm25_postings,
+    bm25_query,
+    doc_term_counts,
+    doc_tokens_pos,
+)
+from alexandria_spark.sources.tables import documents, load_table
+
+CFG = DEFAULT
+
+from alexandria_spark.operators.sql_common import SQL_PRELUDE
+
+Q_SINGLE = "merge"
+Q_AND = ["dup", "join"]     # rare + common (selective conjunction)
+Q_OR = ["dup", "merge"]
+Q_TOPK = ["join", "hash"]
+PHRASE = ("table", "hash")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return documents(spark, sf_dir)
+
+
+def _scored(spark, sf_dir):
+    return bm25_postings(_docs(spark, sf_dir), CFG)
+
+
+def _r4(c):
+    return F.round(c.cast("double"), 4)
+
+
+# ---------------------------------------------------------------- entries
+
+def q_doc_lengths(spark, sf_dir):
+    return (
+        doc_term_counts(_docs(spark, sf_dir), CFG)
+        .groupBy("doc_id").agg(F.first("doc_len").alias("doc_len"))
+    )
+
+
+SQL_DOC_LENGTHS = SQL_PRELUDE + "SELECT doc_id, doc_len FROM dl"
+
+
+def q_term_counts(spark, sf_dir):
+    return doc_term_counts(_docs(spark, sf_dir), CFG).select("doc_id", "term", "tf")
+
+
+SQL_TERM_COUNTS = SQL_PRELUDE + "SELECT doc_id, term, tf FROM tf"
+
+
+def q_term_doc_freq(spark, sf_dir):
+    return (
+        doc_term_counts(_docs(spark, sf_dir), CFG)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("total_tf"))
+    )
+
+
+SQL_TERM_DOC_FREQ = SQL_PRELUDE + (
+    "SELECT term, count(*) AS df, sum(tf) AS total_tf FROM tf GROUP BY term"
+)
+
+
+def q_corpus_stats(spark, sf_dir):
+    return (
+        q_doc_lengths(spark, sf_dir)
+        .agg(F.count("*").alias("n_docs"), F.avg("doc_len").alias("avg_dl"))
+    )
+
+
+SQL_CORPUS_STATS = SQL_PRELUDE + "SELECT n_docs, avg_dl FROM stats"
+
+
+def q_top_terms(spark, sf_dir):
+    return (
+        q_term_doc_freq(spark, sf_dir)
+        .orderBy(F.desc("total_tf"), F.asc("term"))
+        .limit(100)
+        .select("term", "total_tf")
+    )
+
+
+SQL_TOP_TERMS = SQL_PRELUDE + (
+    "SELECT term, sum(tf) AS total_tf FROM tf GROUP BY term "
+    "ORDER BY total_tf DESC, term ASC LIMIT 100"
+)
+
+
+def q_bm25_single(spark, sf_dir):
+    s = _scored(spark, sf_dir).where(F.col("term") == Q_SINGLE)
+    return s.select("doc_id", _r4(F.col("score")).alias("score"))
+
+
+SQL_BM25_SINGLE = SQL_PRELUDE + (
+    f"SELECT doc_id, round(CAST(score AS DOUBLE), 4) AS score "
+    f"FROM scored WHERE term = '{Q_SINGLE}'"
+)
+
+
+def q_bm25_and(spark, sf_dir):
+    r = bm25_query(_docs(spark, sf_dir), Q_AND, "and", CFG)
+    return r.select("doc_id", _r4(F.col("score")).alias("score"), "n_terms")
+
+
+SQL_BM25_AND = SQL_PRELUDE + (
+    f"SELECT doc_id, round(sum(CAST(score AS DOUBLE)), 4) AS score, "
+    f"count(*) AS n_terms FROM scored WHERE term IN ('{Q_AND[0]}','{Q_AND[1]}') "
+    f"GROUP BY doc_id HAVING count(*) = 2"
+)
+
+
+def q_bm25_or(spark, sf_dir):
+    r = bm25_query(_docs(spark, sf_dir), Q_OR, "or", CFG)
+    return r.select("doc_id", _r4(F.col("score")).alias("score"), "n_terms")
+
+
+SQL_BM25_OR = SQL_PRELUDE + (
+    f"SELECT doc_id, round(sum(CAST(score AS DOUBLE)), 4) AS score, "
+    f"count(*) AS n_terms FROM scored WHERE term IN ('{Q_OR[0]}','{Q_OR[1]}') "
+    f"GROUP BY doc_id"
+)
+
+
+def q_bm25_topk(spark, sf_dir):
+    r = bm25_query(_docs(spark, sf_dir), Q_TOPK, "or", CFG)
+    r = r.select("doc_id", _r4(F.col("score")).alias("score"))
+    return r.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+SQL_BM25_TOPK = SQL_PRELUDE + (
+    f"SELECT doc_id, round(sum(CAST(score AS DOUBLE)), 4) AS score "
+    f"FROM scored WHERE term IN ('{Q_TOPK[0]}','{Q_TOPK[1]}') GROUP BY doc_id "
+    f"ORDER BY score DESC, doc_id ASC LIMIT 20"
+)
+
+
+def q_phrase_bigram(spark, sf_dir):
+    toks = doc_tokens_pos(_docs(spark, sf_dir))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = toks.withColumn("w2", F.lead("term").over(w))
+    return (
+        bi.where((F.col("term") == PHRASE[0]) & (F.col("w2") == PHRASE[1]))
+        .select("doc_id").distinct()
+    )
+
+
+SQL_PHRASE_BIGRAM = SQL_PRELUDE + (
+    f", bi AS (SELECT doc_id, term AS w1, lead(term) OVER "
+    f"(PARTITION BY doc_id ORDER BY pos) AS w2 FROM tok) "
+    f"SELECT DISTINCT doc_id FROM bi "
+    f"WHERE w1 = '{PHRASE[0]}' AND w2 = '{PHRASE[1]}'"
+)
+
+
+def q_group_by_source(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    s = _scored(spark, sf_dir).where(F.col("term") == Q_SINGLE)
+    j = s.join(docs.select("doc_id", "source"), "doc_id")
+    return j.groupBy("source").agg(
+        _r4(F.sum(F.col("score").cast("double"))).alias("score_sum"),
+        F.count("*").alias("cnt"),
+    )
+
+
+SQL_GROUP_BY_SOURCE = SQL_PRELUDE + (
+    f"SELECT d.source, round(sum(CAST(s.score AS DOUBLE)), 4) AS score_sum, "
+    f"count(*) AS cnt FROM scored s JOIN documents d USING (doc_id) "
+    f"WHERE s.term = '{Q_SINGLE}' GROUP BY d.source"
+)
+
+
+def q_top_per_source(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    s = _scored(spark, sf_dir).where(F.col("term") == Q_SINGLE)
+    j = s.join(docs.select("doc_id", "source"), "doc_id").select(
+        "source", "doc_id", _r4(F.col("score")).alias("score")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("source", "doc_id", "score")
+    )
+
+
+SQL_TOP_PER_SOURCE = SQL_PRELUDE + (
+    f", r AS (SELECT d.source, s.doc_id, round(CAST(s.score AS DOUBLE), 4) AS score "
+    f"FROM scored s JOIN documents d USING (doc_id) WHERE s.term = '{Q_SINGLE}'), "
+    f"w AS (SELECT *, row_number() OVER (PARTITION BY source "
+    f"ORDER BY score DESC, doc_id ASC) AS rn FROM r) "
+    f"SELECT source, doc_id, score FROM w WHERE rn <= 2"
+)
+
+
+# ------------------------------------------------------------ registry
+
+ENTRIES: dict[str, tuple] = {
+    "doc_lengths": (q_doc_lengths, SQL_DOC_LENGTHS),
+    "term_counts": (q_term_counts, SQL_TERM_COUNTS),
+    "term_doc_freq": (q_term_doc_freq, SQL_TERM_DOC_FREQ),
+    "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "top_terms": (q_top_terms, SQL_TOP_TERMS),
+    "bm25_single_term": (q_bm25_single, SQL_BM25_SINGLE),
+    "bm25_and": (q_bm25_and, SQL_BM25_AND),
+    "bm25_or": (q_bm25_or, SQL_BM25_OR),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "phrase_bigram": (q_phrase_bigram, SQL_PHRASE_BIGRAM),
+    "group_by_source": (q_group_by_source, SQL_GROUP_BY_SOURCE),
+    "top_per_source": (q_top_per_source, SQL_TOP_PER_SOURCE),
+    # training-data pipeline operators (operators/{dedup,analysis,similarity,multimodal})
+    **dedup.ENTRIES,
+    **analysis.ENTRIES,
+    **similarity.ENTRIES,
+    **multimodal.ENTRIES,
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _sql) in ENTRIES.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_fn, sql) in ENTRIES.items() if sql is not None}

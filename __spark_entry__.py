@@ -1,38 +1,42 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``      — flagship end-to-end run: build the inverted index over the
+                 sf0.001 documents table and answer a conjunctive BM25 top-k
+                 query through the block index.
+``queries``    — one entry per implemented operator (SURVEY.md §2 +
+                 training-data ops), each a (spark, sf_dir) -> DataFrame.
+``oracle_sql`` — the DuckDB-runnable ANSI-SQL equivalent for every entry.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from alexandria_spark import suite
+from alexandria_spark.config import EngineConfig
+from alexandria_spark.plans.build import build_index
+from alexandria_spark.plans.query import search
+from alexandria_spark.sources.tables import documents
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: build index → BM25 AND top-k."""
+    sf_dir = "/root/testdata/sf0.001"
+    cfg = EngineConfig(num_shards=16, shuffle_partitions=16, build_waves=2,
+                       block_size=1024)
+    docs = documents(spark, sf_dir)
+    index_path = os.path.join(tempfile.mkdtemp(prefix="alexandria_idx_"), "idx")
+    idx = build_index(spark, docs, index_path, cfg)
+    return search(spark, idx, "table hash join", mode="and", k=100, cfg=cfg)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return suite.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return suite.oracle_sql()

@@ -52,8 +52,8 @@ from pyspark.sql.types import (
 )
 
 from alexandria_spark.config import DEFAULT, EngineConfig
+from alexandria_spark.functions.fast_tokenizer import token_counts_fast
 from alexandria_spark.functions.hashing import murmur2_64, to_i64
-from alexandria_spark.functions.tokenizer import token_counts
 from alexandria_spark.plans.blocks import build_blocks
 from alexandria_spark.plans.checkpoint import CheckpointLog
 
@@ -92,7 +92,7 @@ def tokenize_docs(
 
     def fn(batches):
         for pdf in batches:
-            tc = token_counts(pdf[text_col])
+            tc = token_counts_fast(pdf[text_col], keep_term=keep_term)
             ids = pdf[id_col].to_numpy(np.int64)
             tid = tc["term_id"].to_numpy(np.int64)
             out = {
@@ -169,30 +169,82 @@ BLOCK_SCHEMA = StructType(
 )
 
 
-def blockify(scored: DataFrame, cfg: EngineConfig, postings_acc=None) -> DataFrame:
-    """scored postings → encoded block rows.
+def blockify(
+    term_doc: DataFrame,
+    cfg: EngineConfig,
+    n_docs: int,
+    avg_dl: float,
+    hot_df: dict[int, int],
+    postings_acc=None,
+) -> DataFrame:
+    """term_doc postings → scored, encoded block rows — ONE shuffle total.
 
-    Salting: terms with df > max_postings_per_salt are spread over
-    ceil(df/cap) salt buckets keyed by xxhash64(doc_id), so the subsequent
-    repartition never concentrates a hot term on one task.
+    Document frequency (the only BM25 input that needs term-global state) is
+    computed *locally*: after the repartition by (shard, salt), a non-salted
+    term's entire posting list lives in one partition, so df = group size.
+    Only hot terms (df > max_postings_per_salt) are salted across tasks, and
+    their exact dfs travel in the tiny ``hot_df`` broadcast dict. This
+    replaces a join against a vocabulary-sized term_stats table (and its two
+    shuffles) with one map-side lookup — the difference between 1 and 3
+    full-data shuffles at 100 TB.
+
+    Scoring runs vectorized in numpy inside the block builder (float64 math,
+    float32 store — reference sharded_builder.h:175-201 semantics).
     """
-    nsalts = F.greatest(
-        F.lit(1).cast("long"),
-        F.ceil(F.col("df").cast("double") / F.lit(float(cfg.max_postings_per_salt))).cast("long"),
-    )
-    salted = scored.withColumn(
-        "salt", F.pmod(F.xxhash64(F.col("doc_id")), nsalts).cast("int")
-    ).withColumn("_u", F.col("doc_id").bitwiseXOR(F.lit(MIN_I64)))
+    # salt expression: nsalts(term) for the few hot terms via a map literal
+    if hot_df:
+        entries = []
+        for tid, df in hot_df.items():
+            entries += [F.lit(int(tid)), F.lit(int(cfg.salts_for_df(df)))]
+        nsalts = F.coalesce(
+            F.element_at(F.create_map(*entries), F.col("term_id")), F.lit(1)
+        )
+        salt = F.pmod(F.xxhash64(F.col("doc_id")), nsalts).cast("int")
+    else:
+        salt = F.lit(0).cast("int")
 
+    salted = term_doc.withColumn("salt", salt).withColumn(
+        "_u", F.col("doc_id").bitwiseXOR(F.lit(MIN_I64))
+    )
     parts = salted.repartition(cfg.shuffle_partitions, "shard", "salt").sortWithinPartitions(
         "term_id", "salt", "_u"
     )
+
     num_shards = cfg.num_shards
     block_size = cfg.block_size
     keep_tf = cfg.keep_tf
+    k1, b = cfg.k1, cfg.b
+    short_zero, short_min = cfg.short_doc_zero, cfg.short_doc_min
+    cols = ["term_id", "salt", "doc_id", "tf", "doc_len"]
+
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        """BM25 per posting; df = local group size unless the term is hot."""
+        tid = pdf["term_id"].to_numpy(np.int64)
+        # group sizes (input sorted by term_id, salt)
+        change = np.empty(len(tid), dtype=bool)
+        change[0] = True
+        change[1:] = tid[1:] != tid[:-1]
+        gstart = np.nonzero(change)[0]
+        gsize = np.diff(np.append(gstart, len(tid)))
+        df = np.repeat(gsize, gsize).astype(np.float64)
+        if hot_df:
+            heads = tid[gstart]
+            hot_vals = np.array([hot_df.get(int(t), 0) for t in heads], dtype=np.float64)
+            hot_mask = np.repeat(hot_vals > 0, gsize)
+            df[hot_mask] = np.repeat(hot_vals, gsize)[hot_mask]
+        tf = pdf["tf"].to_numpy(np.float64)
+        dl = pdf["doc_len"].to_numpy(np.float64)
+        idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        f_q = tf / dl
+        score = idf * (f_q * (k1 + 1.0)) / (f_q + k1 * (1.0 - b + b * dl / avg_dl))
+        if short_zero:
+            score[dl < short_min] = 0.0
+        out = pdf[cols].copy()
+        out["score"] = score.astype(np.float32)
+        return out
 
     def _finish(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = build_blocks(pdf, block_size, keep_tf)
+        out = build_blocks(_score(pdf), block_size, keep_tf)
         tid = out["term_id"].to_numpy(np.int64)
         out["shard"] = (tid.view(np.uint64) % np.uint64(num_shards)).astype(np.int32)
         if postings_acc is not None:
@@ -200,24 +252,38 @@ def blockify(scored: DataFrame, cfg: EngineConfig, postings_acc=None) -> DataFra
         return out
 
     def fn(batches):
-        buf = None
+        # group-aware streaming: blocks must not split a (term, salt) group
+        # across Arrow batches, so the trailing (possibly incomplete) group
+        # of each batch is buffered until the next batch confirms its end.
+        buf: list[pd.DataFrame] = []
+        tail_key = None
         for pdf in batches:
-            pdf = pdf[["term_id", "salt", "doc_id", "score", "tf"]]
-            buf = pdf if buf is None else pd.concat([buf, pdf], ignore_index=True)
-            if len(buf) == 0:
+            pdf = pdf[cols]
+            if len(pdf) == 0:
                 continue
-            # emit every complete (term, salt) group; hold back the tail group
-            t = buf["term_id"].to_numpy()
-            s = buf["salt"].to_numpy()
+            t = pdf["term_id"].to_numpy()
+            s = pdf["salt"].to_numpy()
+            first_key = (int(t[0]), int(s[0]))
+            if buf and first_key != tail_key:
+                yield _finish(pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0])
+                buf = []
             not_tail = (t != t[-1]) | (s != s[-1])
             idx = np.nonzero(not_tail)[0]
-            if len(idx) == 0:
-                continue
-            cut = int(idx[-1]) + 1
-            ready, buf = buf.iloc[:cut], buf.iloc[cut:].reset_index(drop=True)
-            yield _finish(ready)
-        if buf is not None and len(buf):
-            yield _finish(buf)
+            if len(idx):  # batch contains complete groups + a tail run
+                cut = int(idx[-1]) + 1
+                head, tail = pdf.iloc[:cut], pdf.iloc[cut:]
+                if buf:
+                    head = pd.concat(buf + [head], ignore_index=True)
+                    buf = []
+                yield _finish(head)
+                buf = [tail.reset_index(drop=True)]
+            else:
+                buf.append(pdf)
+            tail_key = (int(t[-1]), int(s[-1]))
+        if buf:
+            whole = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            if len(whole):
+                yield _finish(whole)
 
     return parts.mapInPandas(fn, BLOCK_SCHEMA)
 
@@ -273,11 +339,17 @@ def build_index(
     keep_term: bool = False,
     run_id: str | None = None,
     fail_after_waves: int | None = None,
+    materialize_stage1: bool = True,
 ) -> Index:
     """Build (or resume building) the inverted index at ``index_path``.
 
     ``fail_after_waves`` is a test hook that injects a crash after N wave
     units complete, to exercise checkpoint resume.
+
+    ``materialize_stage1=False`` is throughput mode: stage 1 is persisted in
+    executor memory instead of a parquet round trip. Wave checkpoints still
+    work, but resuming after driver loss re-tokenizes (use the default for
+    long multi-wave builds, throughput mode for benchmarks/one-shot builds).
     """
     os.makedirs(index_path, exist_ok=True)
     log = CheckpointLog(index_path)
@@ -289,14 +361,22 @@ def build_index(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # ---- stage 1: tokenize + count -------------------------------------
-    if not log.is_done("stage1_term_doc", fp):
-        t0 = time.time()
-        term_doc = tokenize_docs(docs, cfg, id_col, text_col, keep_term)
-        term_doc = term_doc.withColumn("wave", F.pmod(F.col("shard"), F.lit(cfg.build_waves)))
-        term_doc.write.partitionBy("wave").mode("overwrite").parquet(td_path)
-        log.mark_done("stage1_term_doc", fp, run_id, wall_ms=int(1000 * (time.time() - t0)))
-
-    term_doc = spark.read.parquet(td_path)
+    if materialize_stage1:
+        if not log.is_done("stage1_term_doc", fp):
+            t0 = time.time()
+            term_doc = tokenize_docs(docs, cfg, id_col, text_col, keep_term)
+            term_doc = term_doc.withColumn(
+                "wave", F.pmod(F.col("shard"), F.lit(cfg.build_waves))
+            )
+            term_doc.write.partitionBy("wave").mode("overwrite").parquet(td_path)
+            log.mark_done("stage1_term_doc", fp, run_id, wall_ms=int(1000 * (time.time() - t0)))
+        term_doc = spark.read.parquet(td_path)
+    else:
+        term_doc = (
+            tokenize_docs(docs, cfg, id_col, text_col, keep_term)
+            .withColumn("wave", F.pmod(F.col("shard"), F.lit(cfg.build_waves)))
+            .persist()
+        )
 
     # ---- stage 2: corpus stats ------------------------------------------
     dl_path = os.path.join(index_path, "doc_lengths")
@@ -327,7 +407,16 @@ def build_index(
 
     meta = idx.meta()
     n_docs, avg_dl = meta["n_docs"], meta["avg_dl"]
-    term_stats = spark.read.parquet(ts_path)
+
+    # hot terms (df above the salt cap) — a handful of keywords even at
+    # 10^12 files; their exact dfs ride along as a broadcast dict so salted
+    # groups can still score correctly without a vocabulary join.
+    hot_df = {
+        int(r["term_id"]): int(r["df"])
+        for r in spark.read.parquet(ts_path)
+        .where(F.col("df") > cfg.max_postings_per_salt)
+        .collect()
+    }
 
     # ---- stage 3: per-wave block build ----------------------------------
     waves_done = 0
@@ -337,11 +426,10 @@ def build_index(
             continue
         t0 = time.time()
         acc = spark.sparkContext.accumulator(0)
-        wave_td = term_doc.where(F.col("wave") == wave)
-        scored = score_postings(wave_td, term_stats, n_docs, avg_dl, cfg)
-        blocks = blockify(scored, cfg, postings_acc=acc).withColumn(
-            "wave", F.lit(wave)
-        )
+        wave_td = term_doc.where(F.col("wave") == wave) if cfg.build_waves > 1 else term_doc
+        blocks = blockify(
+            wave_td, cfg, n_docs, avg_dl, hot_df, postings_acc=acc
+        ).withColumn("wave", F.lit(wave))
         (
             blocks.write.partitionBy("wave", "shard")
             .mode("overwrite")  # dynamic: only this wave's partitions
@@ -357,4 +445,6 @@ def build_index(
         if fail_after_waves is not None and waves_done >= fail_after_waves:
             raise RuntimeError(f"injected failure after {waves_done} waves")
 
+    if not materialize_stage1:
+        term_doc.unpersist()
     return idx

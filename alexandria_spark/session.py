@@ -28,6 +28,9 @@ def get_spark(
     builder = (
         SparkSession.builder.master(master)
         .appName(app)
+        # 8g is the sweet spot on this box: 1g starves 32 python-worker
+        # pipes, while very large heaps (48g) anti-scale on GC/page-zeroing.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

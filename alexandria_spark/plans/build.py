@@ -109,6 +109,57 @@ def tokenize_docs(
     return docs.select(id_col, text_col).mapInPandas(fn, schema)
 
 
+STATS_SCHEMA = StructType(
+    [
+        StructField("kind", IntegerType()),  # 0 = doc_len row, 1 = partial df row
+        StructField("key", LongType()),      # doc_id | term_id
+        StructField("val", LongType()),      # doc_len | partial df
+    ]
+)
+
+
+def corpus_stats_pass(
+    docs: DataFrame, cfg: EngineConfig = DEFAULT,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """One light tokenizer pass emitting BOTH per-doc lengths and per-batch
+    partial document frequencies.
+
+    Output is tiny (one row per doc + one row per distinct term per batch),
+    so the downstream aggregations shuffle kilobytes instead of the full
+    posting stream — this is what keeps stage 2 off the critical path at
+    scale (the reference's analogue is the HLL doc counter + in-RAM
+    document_sizes map, sharded_builder.h:72-73)."""
+
+    def fn(batches):
+        for pdf in batches:
+            tc = token_counts_fast(pdf[text_col], keep_term=False)
+            ids = pdf[id_col].to_numpy(np.int64)
+            rows = tc["row"].to_numpy()
+            # doc lengths: first row per doc (token_counts_fast sorts by row)
+            first = np.empty(len(rows), dtype=bool)
+            if len(rows):
+                first[0] = True
+                first[1:] = rows[1:] != rows[:-1]
+            dl_rows = rows[first]
+            out_doc = pd.DataFrame(
+                {
+                    "kind": np.int32(0),
+                    "key": ids[dl_rows],
+                    "val": tc["doc_len"].to_numpy(np.int64)[first],
+                }
+            )
+            # partial df: one row per distinct term in this batch
+            tid = tc["term_id"].to_numpy(np.int64)
+            uniq, counts = np.unique(tid, return_counts=True)
+            out_term = pd.DataFrame(
+                {"kind": np.int32(1), "key": uniq, "val": counts.astype(np.int64)}
+            )
+            yield pd.concat([out_doc, out_term], ignore_index=True)
+
+    return docs.select(id_col, text_col).mapInPandas(fn, STATS_SCHEMA)
+
+
 def with_doc_ids(docs: DataFrame, repo_col: str = "repo", path_col: str = "path") -> DataFrame:
     """Add doc_id = murmur2_64(repo + "/" + path) and content_sha256 columns.
 
@@ -203,11 +254,20 @@ def blockify(
     else:
         salt = F.lit(0).cast("int")
 
-    salted = term_doc.withColumn("salt", salt).withColumn(
-        "_u", F.col("doc_id").bitwiseXOR(F.lit(MIN_I64))
+    # slim shuffle: 28 bytes/row. The shard column is recomputed numpy-side
+    # after the shuffle (u64 semantics); the partitioner only needs any
+    # deterministic per-term expression, so pmod(term_id) serves as the key.
+    slim = term_doc.select(
+        "term_id",
+        "doc_id",
+        F.col("tf").cast("int").alias("tf"),
+        F.col("doc_len").cast("int").alias("doc_len"),
+        salt.alias("salt"),
     )
-    parts = salted.repartition(cfg.shuffle_partitions, "shard", "salt").sortWithinPartitions(
-        "term_id", "salt", "_u"
+    parts = slim.repartition(
+        cfg.shuffle_partitions, F.pmod(F.col("term_id"), F.lit(cfg.num_shards)), F.col("salt")
+    ).sortWithinPartitions(
+        F.col("term_id"), F.col("salt"), F.col("doc_id").bitwiseXOR(F.lit(MIN_I64))
     )
 
     num_shards = cfg.num_shards
@@ -379,18 +439,24 @@ def build_index(
         )
 
     # ---- stage 2: corpus stats ------------------------------------------
+    # One light tokenizer pass over the docs emits per-doc lengths + per-batch
+    # partial dfs (kilobyte-scale shuffle) — never the full posting stream.
     dl_path = os.path.join(index_path, "doc_lengths")
     ts_path = os.path.join(index_path, "term_stats")
     meta_path = os.path.join(index_path, "meta.json")
     if not log.is_done("stage2_stats", fp):
         t0 = time.time()
-        doc_lengths = term_doc.groupBy("doc_id").agg(F.first("doc_len").alias("doc_len"))
-        doc_lengths.write.mode("overwrite").parquet(dl_path)
-        term_doc.groupBy("term_id").agg(F.count("*").alias("df"), F.sum("tf").alias("total_tf")
-                                        ).write.mode("overwrite").parquet(ts_path)
-        stats = spark.read.parquet(dl_path).agg(
-            F.count("*").alias("n"), F.avg("doc_len").alias("avg")
+        stats_df = corpus_stats_pass(docs, cfg, id_col, text_col).persist()
+        stats_df.where(F.col("kind") == 0).select(
+            F.col("key").alias("doc_id"), F.col("val").alias("doc_len")
+        ).write.mode("overwrite").parquet(dl_path)
+        stats_df.where(F.col("kind") == 1).groupBy(
+            F.col("key").alias("term_id")
+        ).agg(F.sum("val").alias("df")).write.mode("overwrite").parquet(ts_path)
+        stats = stats_df.where(F.col("kind") == 0).agg(
+            F.count("*").alias("n"), F.avg("val").alias("avg")
         ).collect()[0]
+        stats_df.unpersist()
         meta = {
             "n_docs": int(stats["n"] or 0),
             "avg_dl": float(stats["avg"] or 0.0),

@@ -432,11 +432,13 @@ def build_index(
             log.mark_done("stage1_term_doc", fp, run_id, wall_ms=int(1000 * (time.time() - t0)))
         term_doc = spark.read.parquet(td_path)
     else:
-        term_doc = (
-            tokenize_docs(docs, cfg, id_col, text_col, keep_term)
-            .withColumn("wave", F.pmod(F.col("shard"), F.lit(cfg.build_waves)))
-            .persist()
+        term_doc = tokenize_docs(docs, cfg, id_col, text_col, keep_term).withColumn(
+            "wave", F.pmod(F.col("shard"), F.lit(cfg.build_waves))
         )
+        if cfg.build_waves > 1:
+            # multiple consumers -> cache; single wave streams straight into
+            # the shuffle (persist would only add a memory round trip)
+            term_doc = term_doc.persist()
 
     # ---- stage 2: corpus stats ------------------------------------------
     # One light tokenizer pass over the docs emits per-doc lengths + per-batch

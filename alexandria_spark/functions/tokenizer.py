@@ -131,6 +131,51 @@ def query_terms(query: str, limit: int = 10) -> list[tuple[str, int]]:
     return [(w, int(i)) for w, i in zip(uniq, ids)]
 
 
+BLEND_CHARS = ".-:"
+_BLEND_RE = re.compile("[" + re.escape(BLEND_CHARS) + "]")
+
+
+def expanded_words(text: str, limit: int = 0) -> list[str]:
+    """Reference ``get_expanded_full_text_words`` (text.cpp:253-285): the
+    normal tokenization, but every kept word additionally splits on the
+    blend chars ``.-:`` and (when it actually splits) emits the sub-words
+    after the parent. Golden: "Test. Ing! the    test   +func-tion+" →
+    [test, ing, the, test, +func-tion+, +func, tion+]
+    (reference tests/test_text.cpp get_tokens3)."""
+    out: list[str] = []
+    for raw in _SPLIT_RE.split(text.translate(_LOWER_TABLE)):
+        w = raw.strip(TRIM_CHARS)
+        if not (0 < len(w.encode("utf-8")) <= 100):
+            continue
+        out.append(w)
+        if limit and len(out) == limit:
+            return out
+        parts = _BLEND_RE.split(w)
+        if len(parts) > 1:
+            for p in parts:
+                out.append(p.strip(TRIM_CHARS))
+                if limit and len(out) == limit:
+                    return out
+    return out
+
+
+def snippets(text: str, snippet_len: int = 300) -> list[str]:
+    """Reference ``get_snippets`` (text.cpp:211-247): greedy token-aligned
+    packing into ~300-char snippets (tokens keep original case; boundary
+    chars collapse to single spaces)."""
+    out: list[str] = []
+    cur = ""
+    toks = [t for t in _SPLIT_RE.split(text) if t]
+    for tok in toks:
+        if len(cur) + len(tok) <= snippet_len:
+            cur += tok + " "
+        else:
+            out.append(cur.strip())
+            cur = tok + " "
+    out.append(cur.strip())
+    return out
+
+
 def ngrams(words: list[str], n: int) -> list[str]:
     """All 1..n grams in reference order (text.cpp:360-373): for each start i,
     grams of length 1..n joined by single spaces."""

@@ -1,0 +1,158 @@
+"""Serving-pipeline operators: the reference's full query lifecycle as
+DataFrame stages — match counting, link-style score boosts, per-"domain"
+result dedup, and decoration — each with a DuckDB oracle."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from alexandria_spark.operators.sql_common import SQL_PRELUDE
+from alexandria_spark.operators.text import bm25_postings, doc_term_counts
+from alexandria_spark.sources.tables import documents
+
+Q_SERVE = ["table", "hash"]
+Q_COUNT = ["dup", "join"]
+BOOST_TERM = "merge"
+
+
+def count_matches(docs: DataFrame, terms: list[str]) -> DataFrame:
+    """(n_and, n_or) — result counts for a term set; the analogue of the
+    reference's find_count / total_found metrics (basic_index.h:196-234,
+    search_metric.h:31-41)."""
+    tc = doc_term_counts(docs).where(F.col("term").isin(terms))
+    per_doc = tc.groupBy("doc_id").agg(F.count("*").alias("nt"))
+    return per_doc.agg(
+        F.sum(F.when(F.col("nt") == len(set(terms)), 1).otherwise(0))
+        .cast("long").alias("n_and"),
+        F.count("*").cast("long").alias("n_or"),
+    )
+
+
+def distinct_counts(docs: DataFrame) -> DataFrame:
+    """(n_docs, n_terms) — exact distinct counts. At cluster scale the doc
+    counter becomes approx_count_distinct (the reference uses a
+    HyperLogLog, hyper_log_log.cpp:33-121); exact here so the oracle can
+    verify bit-for-bit."""
+    tc = doc_term_counts(docs)
+    return tc.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.countDistinct("term").cast("long").alias("n_terms"),
+    )
+
+
+def source_boosted_scores(docs: DataFrame, term: str) -> DataFrame:
+    """(doc_id, score) — BM25 + the reference's link-boost formula
+    score += expm1(25·s)/50 (index_manager.cpp:340-397), with s = the
+    source's document share standing in for the domain-link score. The
+    boost side is a small aggregate joined broadcast-style, exactly like
+    the reference's domain hash-join."""
+    base = bm25_postings(docs).where(F.col("term") == term).select(
+        "doc_id", F.col("score").cast("double").alias("score")
+    )
+    src = docs.groupBy("source").agg(F.count("*").alias("sc"))
+    mx = src.agg(F.max("sc").alias("mx"))
+    boost = src.crossJoin(F.broadcast(mx)).select(
+        "source",
+        (F.expm1(25.0 * (F.col("sc") / F.col("mx").cast("double"))) / 50.0).alias("boost"),
+    )
+    j = base.join(docs.select("doc_id", "source"), "doc_id").join(
+        F.broadcast(boost), "source"
+    )
+    return j.select(
+        "doc_id", F.round(F.col("score") + F.col("boost"), 4).alias("score")
+    )
+
+
+def serve_topk(docs: DataFrame, terms: list[str], k: int = 10,
+               per_source: int = 2, snippet_len: int = 140) -> DataFrame:
+    """The reference's full serving pipeline (index_manager.cpp:249-294):
+    conjunctive BM25 → per-domain dedup (row_number ≤ N per source,
+    config deduplicate_domain_count) → decoration with a snippet
+    (return_record.h:60-65) → final top-k ordered score desc, doc asc."""
+    base = (
+        bm25_postings(docs).where(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("score").cast("double")), 4).alias("score"),
+             F.count("*").alias("nt"))
+        .where(F.col("nt") == len(set(terms)))
+        .drop("nt")
+    )
+    j = base.join(
+        docs.select("doc_id", "source", F.substring("text", 1, snippet_len).alias("snippet")),
+        "doc_id",
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= per_source)
+        .select("source", "doc_id", "score", "snippet")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+# ------------------------------------------------------------ suite entries
+
+def q_count_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return count_matches(documents(spark, sf_dir), Q_COUNT)
+
+
+SQL_COUNT_MATCHES = SQL_PRELUDE + f"""
+SELECT sum(CASE WHEN nt = 2 THEN 1 ELSE 0 END)::BIGINT AS n_and,
+       count(*)::BIGINT AS n_or
+FROM (SELECT doc_id, count(*) AS nt FROM tf
+      WHERE term IN ('{Q_COUNT[0]}','{Q_COUNT[1]}') GROUP BY doc_id)
+"""
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return distinct_counts(documents(spark, sf_dir))
+
+
+SQL_DISTINCT_COUNTS = SQL_PRELUDE + """
+SELECT (SELECT count(*) FROM dl)::BIGINT AS n_docs,
+       (SELECT count(*) FROM dfreq)::BIGINT AS n_terms
+"""
+
+
+def q_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_boosted_scores(documents(spark, sf_dir), BOOST_TERM)
+
+
+SQL_BOOSTED = SQL_PRELUDE + f"""
+, src AS (SELECT source, count(*) AS sc FROM documents GROUP BY source),
+mx AS (SELECT max(sc) AS mx FROM src),
+bst AS (SELECT source, (exp(25.0e0 * (sc / CAST(mx AS DOUBLE))) - 1.0e0) / 50.0e0 AS boost
+        FROM src CROSS JOIN mx)
+SELECT s.doc_id, round(CAST(s.score AS DOUBLE) + bst.boost, 4) AS score
+FROM scored s JOIN documents d USING (doc_id) JOIN bst ON bst.source = d.source
+WHERE s.term = '{BOOST_TERM}'
+"""
+
+
+def q_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return serve_topk(documents(spark, sf_dir), Q_SERVE)
+
+
+SQL_SERVE_TOPK = SQL_PRELUDE + f"""
+, base AS (
+  SELECT doc_id, round(sum(CAST(score AS DOUBLE)), 4) AS score
+  FROM scored WHERE term IN ('{Q_SERVE[0]}','{Q_SERVE[1]}')
+  GROUP BY doc_id HAVING count(*) = 2
+),
+j AS (SELECT d.source, b.doc_id, b.score, substr(d.text, 1, 140) AS snippet
+      FROM base b JOIN documents d USING (doc_id)),
+w AS (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY score DESC, doc_id ASC) AS rn FROM j)
+SELECT source, doc_id, score, snippet FROM w WHERE rn <= 2
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+ENTRIES = {
+    "count_matches": (q_count_matches, SQL_COUNT_MATCHES),
+    "distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
+    "bm25_source_boost": (q_boosted, SQL_BOOSTED),
+    "serve_topk_dedup_decorated": (q_serve_topk, SQL_SERVE_TOPK),
+}

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
 from alexandria_spark.config import DEFAULT, EngineConfig
-from alexandria_spark.operators import analysis, dedup, multimodal, similarity
+from alexandria_spark.operators import analysis, dedup, multimodal, serving, similarity
 from alexandria_spark.operators.text import (
     bm25_postings,
     bm25_query,
@@ -235,6 +235,7 @@ ENTRIES: dict[str, tuple] = {
     **analysis.ENTRIES,
     **similarity.ENTRIES,
     **multimodal.ENTRIES,
+    **serving.ENTRIES,
 }
 
 

@@ -103,3 +103,34 @@ def test_ngram_count_golden():
     assert grams[0] == "the"
     assert grams[1] == "the quick"
     assert grams[2] == "the quick brown"
+
+
+def test_expanded_words_golden():
+    # reference tests/test_text.cpp get_tokens3
+    from alexandria_spark.functions.tokenizer import expanded_words
+
+    assert expanded_words("Test. Ing! the    test   +func-tion+") == [
+        "test", "ing", "the", "test", "+func-tion+", "+func", "tion+",
+    ]
+
+
+def test_snippets_goldens():
+    # reference tests/test_text.cpp get_snippets
+    from alexandria_spark.functions.tokenizer import snippets
+
+    one = snippets("A small text that should fit in one snippet")
+    assert one == ["A small text that should fit in one snippet"]
+    zlib_text = (
+        " The zlib compression library provides in-memory compression and "
+        "decompression functions, including integrity checks of the "
+        "uncompressed data. This version of the library supports only one "
+        "compression method (deflation) but other algorithms will be added "
+        "later and will have the same stream interface.  Compression can be "
+        "done in a single step if the buffers are large enough (for example "
+        "if an input file is mmap'ed), or can be done by repeated calls of "
+        "the compression function. In the latter case, the application must "
+        "provide more input and/or consume the output (providing more "
+        "output space) before each call. "
+    )
+    assert len(snippets(zlib_text)) == 3
+    assert all(len(s) <= 300 for s in snippets(zlib_text))

@@ -178,12 +178,55 @@ def _murmur_chunk(buf, starts, lens, seed):
     return h
 
 
-def token_counts_fast(text: pd.Series, keep_term: bool = False) -> pd.DataFrame:
+def ngram_slices(
+    buf: np.ndarray, doc_idx: np.ndarray, starts: np.ndarray, lens: np.ndarray, j: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Build order-j n-gram byte strings (tokens joined by single spaces —
+    reference text.cpp:360-373) from token slices. Returns a NEW buffer plus
+    (doc_idx, starts, lens) of the grams. Fully vectorized (j scatter passes).
+    """
+    n = len(starts)
+    empty = (np.empty(0, np.uint8), np.empty(0, np.int64),
+             np.empty(0, np.int64), np.empty(0, np.int64))
+    if n < j:
+        return empty
+    base = np.nonzero(doc_idx[j - 1:] == doc_idx[: n - j + 1])[0]
+    if len(base) == 0:
+        return empty
+    glens = np.full(len(base), j - 1, dtype=np.int64)  # the j-1 spaces
+    for k in range(j):
+        glens += lens[base + k]
+    gstarts = np.zeros(len(base), dtype=np.int64)
+    np.cumsum(glens[:-1], out=gstarts[1:])
+    out = np.empty(int(glens.sum()), dtype=np.uint8)
+    prefix = np.zeros(len(base), dtype=np.int64)  # offset of constituent k
+    for k in range(j):
+        tl = lens[base + k]
+        total = int(tl.sum())
+        cum = np.zeros(len(base), dtype=np.int64)
+        np.cumsum(tl[:-1], out=cum[1:])
+        within = np.arange(total, dtype=np.int64) - np.repeat(cum, tl)
+        out[np.repeat(gstarts + prefix, tl) + within] = buf[
+            np.repeat(starts[base + k], tl) + within
+        ]
+        if k < j - 1:
+            out[gstarts + prefix + tl] = 0x20  # ' '
+            prefix += tl + 1
+    return out, doc_idx[base], gstarts, glens
+
+
+def token_counts_fast(
+    text: pd.Series, keep_term: bool = False, n_grams: int = 1
+) -> pd.DataFrame:
     """Drop-in fast variant of tokenizer.token_counts.
 
     Columns: row, term_id, tf, doc_len (+ term when keep_term). Row order
     differs from the pandas variant (sorted by (row, term_id) rather than
     first occurrence); contents are identical.
+
+    With ``n_grams`` > 1, every 2..n-gram (space-joined, murmur-hashed like
+    the reference's phrase keys) is counted as an additional term;
+    ``doc_len`` stays the unigram token count.
     """
     buf, doc_idx, starts, lens = tokenize_slices(text)
     if len(starts) == 0:
@@ -197,8 +240,17 @@ def token_counts_fast(text: pd.Series, keep_term: bool = False) -> pd.DataFrame:
             cols["term"] = np.empty(0, object)
         return pd.DataFrame(cols)
 
-    hashes = murmur2_64_slices(buf, starts, lens).view(np.int64)
     doc_lens = np.bincount(doc_idx, minlength=len(text)).astype(np.int64)
+    # segments: unigrams from the shared buffer + one built buffer per order
+    segments = [(buf, doc_idx, starts, lens)]
+    for j in range(2, n_grams + 1):
+        seg = ngram_slices(buf, doc_idx, starts, lens, j)
+        if len(seg[1]):
+            segments.append(seg)
+    hashes = np.concatenate(
+        [murmur2_64_slices(b, s, l).view(np.int64) for b, _, s, l in segments]
+    )
+    doc_idx = np.concatenate([d for _, d, _, _ in segments])
 
     order = np.lexsort((hashes, doc_idx))
     d_s, h_s = doc_idx[order], hashes[order]
@@ -215,10 +267,16 @@ def token_counts_fast(text: pd.Series, keep_term: bool = False) -> pd.DataFrame:
         "doc_len": doc_lens[rows],
     }
     if keep_term:
+        seg_sizes = np.array([len(s[2]) for s in segments], dtype=np.int64)
+        seg_ends = np.cumsum(seg_sizes)
         tok_i = order[group_starts]
+        seg_of = np.searchsorted(seg_ends, tok_i, side="right")
         terms = np.empty(len(tok_i), dtype=object)
-        bmem = buf.tobytes()
+        mems = [s[0].tobytes() for s in segments]
         for j, t in enumerate(tok_i):
-            terms[j] = bmem[starts[t] : starts[t] + lens[t]].decode("utf-8")
+            sg = seg_of[j]
+            local = t - (seg_ends[sg - 1] if sg else 0)
+            b, _, st, ln = segments[sg]
+            terms[j] = mems[sg][st[local] : st[local] + ln[local]].decode("utf-8")
         out["term"] = terms
     return pd.DataFrame(out)

@@ -90,9 +90,11 @@ def tokenize_docs(
     num_shards = cfg.num_shards
     schema = term_doc_schema(keep_term)
 
+    n_grams = cfg.n_grams
+
     def fn(batches):
         for pdf in batches:
-            tc = token_counts_fast(pdf[text_col], keep_term=keep_term)
+            tc = token_counts_fast(pdf[text_col], keep_term=keep_term, n_grams=n_grams)
             ids = pdf[id_col].to_numpy(np.int64)
             tid = tc["term_id"].to_numpy(np.int64)
             out = {
@@ -131,9 +133,11 @@ def corpus_stats_pass(
     scale (the reference's analogue is the HLL doc counter + in-RAM
     document_sizes map, sharded_builder.h:72-73)."""
 
+    n_grams = cfg.n_grams
+
     def fn(batches):
         for pdf in batches:
-            tc = token_counts_fast(pdf[text_col], keep_term=False)
+            tc = token_counts_fast(pdf[text_col], keep_term=False, n_grams=n_grams)
             ids = pdf[id_col].to_numpy(np.int64)
             rows = tc["row"].to_numpy()
             # doc lengths: first row per doc (token_counts_fast sorts by row)

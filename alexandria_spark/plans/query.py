@@ -38,7 +38,8 @@ from pyspark.sql.types import (
 )
 
 from alexandria_spark.config import DEFAULT, EngineConfig
-from alexandria_spark.functions.tokenizer import query_terms
+from alexandria_spark.functions.hashing import i64_hash64
+from alexandria_spark.functions.tokenizer import query_terms, tokenize
 from alexandria_spark.plans.blocks import decode_blocks, varint_decode
 from alexandria_spark.plans.build import MIN_I64, Index
 
@@ -114,6 +115,17 @@ def _prune_and_blocks(meta: pd.DataFrame, term_ids: list[int]) -> pd.DataFrame:
     return meta[keep]
 
 
+def _query_term_ids(query: str, mode: str, cfg: EngineConfig) -> list[int]:
+    """Token ids for a query. ``phrase`` mode hashes the whole (tokenized,
+    space-joined) query as ONE n-gram key — the reference's exact-phrase
+    search (search_engine.h:474-490); requires an index built with
+    n_grams >= word count."""
+    if mode == "phrase":
+        words = tokenize(query, limit=cfg.query_max_words)
+        return [i64_hash64(" ".join(words))] if words else []
+    return [tid for _, tid in query_terms(query, limit=cfg.query_max_words)]
+
+
 def search(
     spark: SparkSession,
     index: Index,
@@ -124,12 +136,11 @@ def search(
     prune: bool = True,
 ) -> DataFrame:
     """Top-k BM25 search. Returns DataFrame (doc_id, score, n_terms) ordered
-    score desc, unsigned doc_id asc, limited to k."""
+    score desc, unsigned doc_id asc, limited to k. Modes: and | or | phrase."""
     cfg = cfg or index.config()
-    terms = query_terms(query, limit=cfg.query_max_words)
-    if not terms:
+    term_ids = _query_term_ids(query, mode, cfg)
+    if not term_ids:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    term_ids = [tid for _, tid in terms]
     shards = sorted({_shard_of(t, cfg.num_shards) for t in term_ids})
 
     blocks = index.postings(spark).where(
@@ -249,13 +260,12 @@ class LocalIndex:
         return np.nonzero(hi > lo)[0]
 
     def search(self, query: str, mode: str = "and", k: int = 10) -> list[tuple[int, float]]:
-        terms = query_terms(query, limit=self.cfg.query_max_words)
-        tids = [tid for _, tid in terms]
+        tids = _query_term_ids(query, mode, self.cfg)
         if not tids:
             return []
         if mode == "and":
             res = self._search_and(tids)
-        else:
+        else:  # or | phrase (a phrase is a single-term disjunction)
             res = self._search_or(tids, k)
         docs_u, scores = res
         if len(docs_u) == 0:

@@ -175,6 +175,43 @@ SQL_PHRASE_BIGRAM = SQL_PRELUDE + (
 )
 
 
+def q_bm25_phrase(spark, sf_dir):
+    """Exact-phrase BM25: the phrase bigram is one index key (the engine's
+    n_grams=2 path); tf = adjacency count, doc_len stays the unigram count."""
+    docs = _docs(spark, sf_dir)
+    toks = doc_tokens_pos(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = toks.withColumn("w2", F.lead("term").over(w))
+    ph = bi.where((F.col("term") == PHRASE[0]) & (F.col("w2") == PHRASE[1]))
+    tf = ph.groupBy("doc_id").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    stats = dl.agg(F.count("*").alias("n"), F.avg("doc_len").alias("avg")).collect()[0]
+    n_docs, avg_dl = int(stats["n"]), float(stats["avg"])
+    phrase_df = tf.count()
+    from alexandria_spark.plans.build import bm25_score_col
+
+    scored = tf.join(dl, "doc_id").withColumn("df", F.lit(phrase_df))
+    return scored.withColumn("score", bm25_score_col(n_docs, avg_dl, CFG)).select(
+        "doc_id", _r4(F.col("score")).alias("score")
+    )
+
+
+SQL_BM25_PHRASE = SQL_PRELUDE + f"""
+, bi AS (SELECT doc_id, term AS w1, lead(term) OVER
+         (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tok),
+ptf AS (SELECT doc_id, count(*) AS tf FROM bi
+        WHERE w1 = '{PHRASE[0]}' AND w2 = '{PHRASE[1]}' GROUP BY doc_id),
+pdf_ AS (SELECT count(*) AS df FROM ptf)
+SELECT ptf.doc_id,
+       round(CAST(CAST( ln((stats.n_docs - pdf_.df + 0.5e0)/(pdf_.df + 0.5e0) + 1.0e0)
+             * ((ptf.tf/CAST(dl.doc_len AS DOUBLE)) * 2.2e0)
+             / ((ptf.tf/CAST(dl.doc_len AS DOUBLE))
+                + 1.2e0 * (0.25e0 + (0.75e0 * dl.doc_len)/stats.avg_dl))
+           AS REAL) AS DOUBLE), 4) AS score
+FROM ptf JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN pdf_
+"""
+
+
 def q_group_by_source(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     s = _scored(spark, sf_dir).where(F.col("term") == Q_SINGLE)
@@ -227,6 +264,7 @@ ENTRIES: dict[str, tuple] = {
     "bm25_and": (q_bm25_and, SQL_BM25_AND),
     "bm25_or": (q_bm25_or, SQL_BM25_OR),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "bm25_phrase": (q_bm25_phrase, SQL_BM25_PHRASE),
     "phrase_bigram": (q_phrase_bigram, SQL_PHRASE_BIGRAM),
     "group_by_source": (q_group_by_source, SQL_GROUP_BY_SOURCE),
     "top_per_source": (q_top_per_source, SQL_TOP_PER_SOURCE),

@@ -21,6 +21,8 @@ from alexandria_spark.functions.tokenizer import query_terms, tokenize
 
 class OracleIndex:
     def __init__(self, docs: list[tuple[int, str]], cfg: EngineConfig | None = None):
+        from alexandria_spark.functions.tokenizer import ngrams
+
         self.cfg = cfg or EngineConfig()
         self.tf: dict[str, dict[int, int]] = {}
         self.doc_len: dict[int, int] = {}
@@ -28,8 +30,8 @@ class OracleIndex:
             words = tokenize(text)
             if not words:
                 continue
-            self.doc_len[doc_id] = len(words)
-            for w in words:
+            self.doc_len[doc_id] = len(words)  # unigram count, even with n-grams
+            for w in ngrams(words, self.cfg.n_grams) if self.cfg.n_grams > 1 else words:
                 self.tf.setdefault(w, {})
                 self.tf[w][doc_id] = self.tf[w].get(doc_id, 0) + 1
         self.n_docs = len(self.doc_len)
@@ -48,7 +50,11 @@ class OracleIndex:
         return np.float32(s)
 
     def search(self, query: str, mode: str = "and", k: int = 10) -> list[tuple[int, float]]:
-        terms = [t for t, _ in query_terms(query, limit=self.cfg.query_max_words)]
+        if mode == "phrase":
+            words = tokenize(query, limit=self.cfg.query_max_words)
+            terms = [" ".join(words)] if words else []
+        else:
+            terms = [t for t, _ in query_terms(query, limit=self.cfg.query_max_words)]
         if not terms:
             return []
         acc: dict[int, tuple[float, int]] = {}

@@ -172,3 +172,30 @@ def test_salting_spreads_hot_terms(spark, tmp_path):
     got = LocalIndex(spark, idx, cfg).search("def return", "and", k=10)
     exp = oracle.search("def return", "and", k=10)
     assert [d for d, _ in got] == [d for d, _ in exp]
+
+
+def test_phrase_index_and_query(spark, tmp_path):
+    # n_grams=2 index: exact-phrase search = one n-gram key lookup
+    cfg = EngineConfig(num_shards=8, block_size=16, shuffle_partitions=8,
+                       build_waves=1, max_postings_per_salt=64, n_grams=2)
+    pdf = synth_corpus_pdf(n_docs=120, seed=21)
+    docs = with_doc_ids(spark.createDataFrame(pdf))
+    idx = build_index(spark, docs, str(tmp_path / "idx"), cfg, text_col="content")
+    ids = {r["path"]: r["doc_id"] for r in docs.select("path", "doc_id").collect()}
+    oracle = OracleIndex([(ids[r.path], r.content) for r in pdf.itertuples()], cfg)
+
+    local = LocalIndex(spark, idx, cfg)
+    for phrase in ["def return", "return def", "parse tokenize", "def zz_absent"]:
+        exp = oracle.search(phrase, "phrase", k=10)
+        got_local = local.search(phrase, "phrase", k=10)
+        got_dist = [
+            (r.doc_id, r.score)
+            for r in search(spark, idx, phrase, "phrase", k=10).collect()
+        ]
+        assert [d for d, _ in got_local] == [d for d, _ in exp], phrase
+        assert [d for d, _ in got_dist] == [d for d, _ in exp], phrase
+        assert np.allclose([s for _, s in got_local], [s for _, s in exp], rtol=1e-9)
+    # sanity: phrase results are a subset of the AND results of its words
+    ph = {d for d, _ in oracle.search("def return", "phrase", k=10_000)}
+    an = {d for d, _ in oracle.search("def return", "and", k=10_000)}
+    assert ph <= an and len(ph) > 0

@@ -1,0 +1,96 @@
+"""Partial-index merge + rebuild.
+
+The reference merges a partial index into a final one by remapping internal
+record ids and unioning the per-key bitmaps (reference
+src/indexer/index_builder.h:303-361, test tests/test_index_builder.cpp:36-102),
+summing duplicate counted records via += (counted_record.h:60-63). In Spark
+the shuffle IS the remap: union the stage-1 term_doc tables, re-aggregate
+the duplicate (term, doc) pairs, recompute corpus stats, and re-block. BM25
+scores are recomputed from the merged stats — which is what the reference's
+``calculate_scores`` pass does after merging too (sharded_builder.h:157-214).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from alexandria_spark.config import DEFAULT, EngineConfig
+from alexandria_spark.plans.build import Index, blockify
+from alexandria_spark.plans.checkpoint import CheckpointLog
+
+
+def rebuild_from_term_doc(
+    spark: SparkSession,
+    term_doc: DataFrame,
+    index_path: str,
+    cfg: EngineConfig = DEFAULT,
+    run_id: str = "rebuild",
+) -> Index:
+    """Finalize an index from a (possibly merged/appended) term_doc stream:
+    recompute doc_lengths / term_stats / meta, then re-block every shard.
+    Used by merge_indexes and the streaming refresh."""
+    os.makedirs(index_path, exist_ok=True)
+    idx = Index(index_path)
+    log = CheckpointLog(index_path)
+    t0 = time.time()
+
+    # duplicate (term, doc) pairs from overlapping sources combine via +=
+    td = (
+        term_doc.groupBy("term_id", "doc_id", "shard")
+        .agg(F.sum("tf").alias("tf"), F.max("doc_len").alias("doc_len"))
+    )
+    dl = td.groupBy("doc_id").agg(F.first("doc_len").alias("doc_len"))
+    dl.write.mode("overwrite").parquet(os.path.join(index_path, "doc_lengths"))
+    ts = td.groupBy("term_id").agg(F.count("*").alias("df"))
+    ts.write.mode("overwrite").parquet(os.path.join(index_path, "term_stats"))
+    stats = spark.read.parquet(os.path.join(index_path, "doc_lengths")).agg(
+        F.count("*").alias("n"), F.avg("doc_len").alias("avg")
+    ).collect()[0]
+    n_docs, avg_dl = int(stats["n"] or 0), float(stats["avg"] or 0.0)
+    with open(os.path.join(index_path, "meta.json"), "w") as fh:
+        json.dump(
+            {"n_docs": n_docs, "avg_dl": avg_dl, "config": asdict(cfg),
+             "fingerprint": run_id, "run_id": run_id}, fh,
+        )
+
+    hot_df = {
+        int(r["term_id"]): int(r["df"])
+        for r in spark.read.parquet(os.path.join(index_path, "term_stats"))
+        .where(F.col("df") > cfg.max_postings_per_salt).collect()
+    }
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    blocks = blockify(td, cfg, n_docs, avg_dl, hot_df).withColumn("wave", F.lit(0))
+    blocks.write.partitionBy("wave", "shard").mode("overwrite").parquet(idx.postings_path)
+    log.mark_done("rebuild", run_id, run_id, docs_processed=n_docs,
+                  wall_ms=int(1000 * (time.time() - t0)))
+    return idx
+
+
+def merge_indexes(
+    spark: SparkSession,
+    sources: list[Index],
+    out_path: str,
+    cfg: EngineConfig | None = None,
+) -> Index:
+    """Merge N partial indexes (built with materialize_stage1=True) into one.
+
+    Spark-first answer to the reference's manual id-remap merge: the
+    term-hash shuffle re-co-locates every posting, so the merge is a union +
+    re-aggregation, and scores are refreshed from the merged corpus stats.
+    """
+    cfg = cfg or sources[0].config()
+    tds = [
+        spark.read.parquet(os.path.join(s.path, "term_doc")).select(
+            "doc_id", "term_id", "shard", "tf", "doc_len"
+        )
+        for s in sources
+    ]
+    merged = reduce(lambda a, b: a.unionByName(b), tds)
+    return rebuild_from_term_doc(spark, merged, out_path, cfg, run_id="merge")

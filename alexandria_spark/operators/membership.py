@@ -1,0 +1,113 @@
+"""Set-membership operators: Bloom filter + HyperLogLog analogues.
+
+The reference keeps a 625M-bit Bloom filter of indexed URLs with k=4 seeded
+hashes to skip re-indexing (reference src/algorithm/bloom_filter.cpp:53-120,
+built at console.cpp:527-539) and a HyperLogLog document counter
+(hyper_log_log.cpp:33-121). PySpark 4 exposes no python ``stat.bloomFilter``,
+so the filter here is built the Spark-native way: each partition sets bits
+into a numpy bitmap (vectorized murmur2 over the 8-byte ids), partial
+bitmaps are OR-merged on the driver, and the result broadcasts to ingest
+tasks. The exact anti-join is the no-false-positive fallback.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import BinaryType, StructField, StructType
+
+_M = np.uint64(0xC6A4A7935BD1E995)
+_R = np.uint64(47)
+SEEDS = (0xC70F6907, 0x12345678, 0x87654321, 0x9E3779B9)  # k=4, like the reference
+
+
+def _hash_u64(vals: np.ndarray, seed: int) -> np.ndarray:
+    """murmur64A of each value's 8 little-endian bytes (one full chunk)."""
+    with np.errstate(over="ignore"):
+        h = np.uint64(seed) ^ (np.uint64(8) * _M)
+        k = vals.astype(np.int64).view(np.uint64).copy()
+        k *= _M
+        k ^= k >> _R
+        k *= _M
+        h = (h ^ k) * _M
+        h ^= h >> _R
+        h *= _M
+        h ^= h >> _R
+    return h
+
+
+class BloomFilter:
+    """Numpy-bitmap Bloom filter with k seeded murmur2 hashes."""
+
+    def __init__(self, n_bits: int = 1 << 23, bits: np.ndarray | None = None):
+        self.n_bits = n_bits
+        self.bits = bits if bits is not None else np.zeros(n_bits // 8, dtype=np.uint8)
+
+    def _positions(self, ids: np.ndarray) -> list[np.ndarray]:
+        return [(_hash_u64(ids, s) % np.uint64(self.n_bits)) for s in SEEDS]
+
+    def add(self, ids: np.ndarray) -> None:
+        for pos in self._positions(ids):
+            byte, bit = pos >> np.uint64(3), pos & np.uint64(7)
+            np.bitwise_or.at(self.bits, byte.astype(np.int64), (1 << bit).astype(np.uint8))
+
+    def might_contain(self, ids: np.ndarray) -> np.ndarray:
+        out = np.ones(len(ids), dtype=bool)
+        for pos in self._positions(ids):
+            byte, bit = (pos >> np.uint64(3)).astype(np.int64), pos & np.uint64(7)
+            out &= (self.bits[byte] >> bit.astype(np.uint8)) & 1 > 0
+        return out
+
+    def union(self, other: "BloomFilter") -> "BloomFilter":
+        return BloomFilter(self.n_bits, np.bitwise_or(self.bits, other.bits))
+
+
+def build_doc_filter(indexed: DataFrame, id_col: str = "doc_id",
+                     n_bits: int = 1 << 23) -> BloomFilter:
+    """Distributed build: per-partition bitmaps OR-merged on the driver."""
+    schema = StructType([StructField("bits", BinaryType())])
+
+    def fn(batches):
+        bf = BloomFilter(n_bits)
+        for pdf in batches:
+            bf.add(pdf[id_col].to_numpy(np.int64))
+        yield pd.DataFrame({"bits": [bf.bits.tobytes()]})
+
+    parts = indexed.select(id_col).mapInPandas(fn, schema).collect()
+    bf = BloomFilter(n_bits)
+    for row in parts:
+        bf.bits |= np.frombuffer(row.bits, dtype=np.uint8)
+    return bf
+
+
+def filter_new_docs(incoming: DataFrame, bloom: BloomFilter,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Drop rows whose id is (probably) already indexed — the reference's
+    'skip already indexed URL' fast path. False positives drop a ~fpp share
+    of genuinely-new docs; use anti_join_new_docs when that is unacceptable."""
+    sc = incoming.sparkSession.sparkContext
+    b = sc.broadcast((bloom.n_bits, bloom.bits.tobytes()))
+    schema = incoming.schema
+
+    def fn(batches):
+        n_bits, raw = b.value
+        bf = BloomFilter(n_bits, np.frombuffer(raw, dtype=np.uint8))
+        for pdf in batches:
+            yield pdf[~bf.might_contain(pdf[id_col].to_numpy(np.int64))]
+
+    return incoming.mapInPandas(fn, schema)
+
+
+def anti_join_new_docs(incoming: DataFrame, indexed: DataFrame,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Exact variant: left-anti join on the indexed id set (broadcast- or
+    shuffle-join per Catalyst/AQE size estimate)."""
+    return incoming.join(indexed.select(id_col), id_col, "left_anti")
+
+
+def approx_doc_count(docs: DataFrame, id_col: str = "doc_id", rsd: float = 0.02) -> DataFrame:
+    """HyperLogLog distinct-doc counter (approx_count_distinct ≈ the
+    reference's b=15 HLL)."""
+    return docs.agg(F.approx_count_distinct(id_col, rsd).alias("n_docs_approx"))

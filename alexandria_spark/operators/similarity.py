@@ -95,6 +95,29 @@ def ann_lsh_topk(vectors: DataFrame, query_vec_id: int = 0, k: int = 10) -> Data
     )
 
 
+def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.99,
+                             group_col: str = "label") -> DataFrame:
+    """(vec_a, vec_b, cos_sim) — embedding-cosine near-duplicate pairs.
+
+    Candidates are restricted to a grouping key (label here; an LSH bucket
+    at scale) so the pairwise work is a co-partitioned self-join, never a
+    cross join."""
+    a = vectors.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col(group_col).alias("g"),
+    )
+    b = vectors.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col(group_col).alias("g"),
+    )
+    j = a.join(b, "g").where(F.col("vec_a") < F.col("vec_b"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return (
+        j.select("vec_a", "vec_b", F.round(cos, 4).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 # ------------------------------------------------------------ suite entries
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,7 +160,24 @@ SQL_LSH_BUCKETS = "SELECT vec_id, (" + " + ".join(
     f"(CASE WHEN {_sql_plane(j)} > 0 THEN {1 << j} ELSE 0 END)" for j in range(N_PLANES)
 ) + ")::BIGINT AS bucket FROM embeddings"
 
+def q_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), 0.9)
+
+
+SQL_NEAR_DUPS = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_sql_dot('a.embedding', 'b.embedding')}
+             / (sqrt({_sql_dot('a.embedding', 'a.embedding')})
+                * sqrt({_sql_dot('b.embedding', 'b.embedding')})), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_sql_dot('a.embedding', 'b.embedding')}
+            / (sqrt({_sql_dot('a.embedding', 'a.embedding')})
+               * sqrt({_sql_dot('b.embedding', 'b.embedding')})), 4) >= 0.9e0
+"""
+
 ENTRIES = {
     "embedding_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
+    "embedding_near_dup_pairs": (q_near_dups, SQL_NEAR_DUPS),
 }

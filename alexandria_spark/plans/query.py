@@ -148,10 +148,17 @@ def search(
     )
 
     if mode == "and" and len(term_ids) > 1 and prune:
-        # metadata-only read (column pruning keeps payloads out of this scan)
-        meta = blocks.select(
-            "term_id", "salt", "block_id", "min_doc", "max_doc"
-        ).toPandas()
+        # metadata-only read (column pruning keeps payloads out of this scan).
+        # Guard: driver-side pruning pays off only while the metadata is
+        # small; a pathological query over huge lists skips it (the decode
+        # path stays exact either way).
+        meta_df = blocks.select("term_id", "salt", "block_id", "min_doc", "max_doc")
+        rows = meta_df.limit(200_001).toPandas()
+        meta = None if len(rows) > 200_000 else rows
+    else:
+        meta = None
+
+    if meta is not None:
         kept = _prune_and_blocks(meta, term_ids)
         if len(kept) == 0:
             return spark.createDataFrame([], RESULT_SCHEMA)
@@ -192,6 +199,51 @@ def decorate(results: DataFrame, docs: DataFrame, id_col: str = "doc_id",
     return results.join(docs, id_col, "left").withColumn(
         "snippet", F.substring(F.col(text_col), 1, snippet_len)
     )
+
+
+class QueryEngine:
+    """Warm distributed serving: pins the block scan in executor memory and
+    the block METADATA on the driver (one-time), so each query plans its
+    pruning without extra jobs and decodes from cache — the distributed
+    analogue of the reference's RAM-cached readers (index_reader.cpp:59-89)
+    for posting lists too large for one node."""
+
+    def __init__(self, spark: SparkSession, index: Index,
+                 cfg: EngineConfig | None = None, cache: bool = True):
+        self.spark = spark
+        self.index = index
+        self.cfg = cfg or index.config()
+        self.blocks = index.postings(spark)
+        if cache:
+            self.blocks = self.blocks.cache()
+            self.blocks.count()
+        self.meta = self.blocks.select(
+            "term_id", "salt", "block_id", "min_doc", "max_doc"
+        ).toPandas()
+
+    def search(self, query: str, mode: str = "and", k: int = 10) -> DataFrame:
+        cfg = self.cfg
+        term_ids = _query_term_ids(query, mode, cfg)
+        if not term_ids:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        blocks = self.blocks.where(F.col("term_id").isin(term_ids))
+        if mode == "and" and len(term_ids) > 1:
+            meta = self.meta[self.meta["term_id"].isin(term_ids)]
+            kept = _prune_and_blocks(meta, term_ids)
+            if len(kept) == 0:
+                return self.spark.createDataFrame([], RESULT_SCHEMA)
+            if len(kept) < len(meta):
+                keys = self.spark.createDataFrame(kept[["term_id", "salt", "block_id"]])
+                blocks = blocks.join(
+                    F.broadcast(keys), ["term_id", "salt", "block_id"], "left_semi"
+                )
+        agg = _decode_map(blocks).groupBy("doc_id").agg(
+            F.sum(F.col("score").cast("double")).alias("score"),
+            F.count("*").alias("n_terms"),
+        )
+        if mode == "and":
+            agg = agg.where(F.col("n_terms") == len(term_ids))
+        return top_k(agg.withColumn("n_terms", F.col("n_terms").cast("int")), k)
 
 
 # ------------------------------------------------------------------ local

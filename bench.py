@@ -130,20 +130,32 @@ def main() -> None:
         lat_ms.append(m)
         queries_sec[name] = round(m / 1000, 6)
 
-    # distributed path timing (cold planner each time)
+    # distributed path timing: cold (fresh plan+scan) and warm (QueryEngine
+    # with cached blocks + driver-pinned metadata)
+    from alexandria_spark.plans.query import QueryEngine
+
     dist = []
     for name, q, mode in QUERIES[:3]:
         t0 = time.time()
         search(spark, idx, q, mode, k=10).collect()
         dist.append(time.time() - t0)
         queries_sec[name + "_dist"] = round(dist[-1], 3)
+    qe = QueryEngine(spark, idx)
+    warm = []
+    for name, q, mode in QUERIES[:5]:
+        qe.search(q, mode, 10).collect()  # warmup
+        t0 = time.time()
+        qe.search(q, mode, 10).collect()
+        warm.append(time.time() - t0)
+        queries_sec[name + "_dist_warm"] = round(warm[-1], 3)
     spark.stop()
 
     out["latency"] = {
         "local_index_load_sec": round(load_sec, 3),
         "p50_query_ms": round(statistics.median(lat_ms), 3),
         "max_query_ms": round(max(lat_ms), 3),
-        "dist_p50_sec": round(statistics.median(dist), 3),
+        "dist_cold_p50_sec": round(statistics.median(dist), 3),
+        "dist_warm_p50_sec": round(statistics.median(warm), 3),
     }
 
     # ---- phase C: scaling efficiency at N vs 4N cores --------------------

@@ -199,3 +199,15 @@ def test_phrase_index_and_query(spark, tmp_path):
     ph = {d for d, _ in oracle.search("def return", "phrase", k=10_000)}
     an = {d for d, _ in oracle.search("def return", "and", k=10_000)}
     assert ph <= an and len(ph) > 0
+
+
+def test_query_engine_warm_distributed(spark, synth):
+    from alexandria_spark.plans.query import QueryEngine
+
+    idx, oracle = synth
+    qe = QueryEngine(spark, idx, CFG)
+    for q, mode in QUERIES[:8]:
+        exp = oracle.search(q, mode, k=10)
+        got = [(r.doc_id, r.score) for r in qe.search(q, mode, k=10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in exp], (q, mode)
+        assert np.allclose([s for _, s in got], [s for _, s in exp], rtol=1e-9)

@@ -252,9 +252,21 @@ SQL_TOP_PER_SOURCE = SQL_PRELUDE + (
 )
 
 
+def q_content_sha256(spark, sf_dir):
+    """Per-row content sha256 — the BASELINE.json input invariant, checked
+    end-to-end against the oracle's independent digest."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_sha256")
+    )
+
+
+SQL_CONTENT_SHA256 = "SELECT doc_id, sha256(text) AS content_sha256 FROM documents"
+
+
 # ------------------------------------------------------------ registry
 
 ENTRIES: dict[str, tuple] = {
+    "content_sha256": (q_content_sha256, SQL_CONTENT_SHA256),
     "doc_lengths": (q_doc_lengths, SQL_DOC_LENGTHS),
     "term_counts": (q_term_counts, SQL_TERM_COUNTS),
     "term_doc_freq": (q_term_doc_freq, SQL_TERM_DOC_FREQ),

@@ -87,3 +87,24 @@ def test_streaming_checkpoint_no_double_ingest(spark, tmp_path):
     assert td.select("doc_id").distinct().count() == n_nonempty
     n_rows = td.count()
     assert td.dropDuplicates(["term_id", "doc_id"]).count() == n_rows
+
+
+def test_merge_sums_duplicate_postings(spark, tmp_path):
+    # the reference's counted merge: adding the same (term, doc) twice
+    # yields count 2 (tests/test_counted_index_builder.cpp:64-90)
+    a = _corpus(spark, 7, 20, 0)
+    idx_a = build_index(spark, a, str(tmp_path / "a"), CFG, text_col="content")
+    merged = merge_indexes(spark, [idx_a, idx_a], str(tmp_path / "m"), CFG)
+
+    from alexandria_spark.plans.blocks import decode_blocks
+
+    def tf_map(idx):
+        pdf = idx.postings(spark).toPandas()
+        dec = decode_blocks(pdf, want_tf=True)
+        return {(r.term_id, r.doc_id): r.tf for r in dec.itertuples()}
+
+    single, double = tf_map(idx_a), tf_map(merged)
+    assert set(single) == set(double)
+    assert all(double[k] == 2 * v for k, v in single.items())
+    # doc count unchanged (same docs, postings combined)
+    assert merged.meta()["n_docs"] == idx_a.meta()["n_docs"]

@@ -199,12 +199,6 @@ def bm25_score_col(n_docs: float, avg_dl: float, cfg: EngineConfig):
     return score.cast("float")
 
 
-def score_postings(term_doc: DataFrame, term_stats: DataFrame, n_docs: int,
-                   avg_dl: float, cfg: EngineConfig) -> DataFrame:
-    scored = term_doc.join(term_stats.select("term_id", "df"), "term_id")
-    return scored.withColumn("score", bm25_score_col(n_docs, avg_dl, cfg))
-
-
 # ---------------------------------------------------------------- blocks
 
 BLOCK_SCHEMA = StructType(

@@ -1,0 +1,79 @@
+"""Document deletion: tombstones + compaction.
+
+The reference's doc store supports remove/versioning (hash_table tests,
+tests/test_hash_table.cpp) while its immutable index shards are rebuilt
+offline. The Spark-native equivalent: deletes append doc ids to a tombstone
+table (query paths anti-filter it — cheap, immediate), and ``compact``
+physically rebuilds postings + stats from the retained documents (BM25
+refreshes, like the reference's calculate_scores after a rebuild).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from alexandria_spark.config import EngineConfig
+from alexandria_spark.plans.build import Index
+from alexandria_spark.plans.merge import rebuild_from_term_doc
+
+
+def deletes_path(index: Index) -> str:
+    return os.path.join(index.path, "deletes")
+
+
+def delete_docs(spark: SparkSession, index: Index, doc_ids) -> None:
+    """Tombstone doc ids (list[int] or a DataFrame with a doc_id column)."""
+    if isinstance(doc_ids, DataFrame):
+        df = doc_ids.select("doc_id")
+    else:
+        df = spark.createDataFrame([(int(d),) for d in doc_ids], ["doc_id"])
+    df.write.mode("append").parquet(deletes_path(index))
+
+
+def load_deletes(spark: SparkSession, index: Index) -> DataFrame | None:
+    p = deletes_path(index)
+    if not os.path.exists(p):
+        return None
+    return spark.read.parquet(p).select("doc_id").distinct()
+
+
+def filter_deleted(spark: SparkSession, index: Index, results: DataFrame) -> DataFrame:
+    """Anti-join results against the tombstones (no-op without any)."""
+    dels = load_deletes(spark, index)
+    if dels is None:
+        return results
+    return results.join(F.broadcast(dels), "doc_id", "left_anti")
+
+
+def compact(spark: SparkSession, index: Index,
+            cfg: EngineConfig | None = None) -> Index:
+    """Physically drop tombstoned docs: rebuild postings/stats from the
+    retained term_doc rows, then clear the tombstones. Requires the index
+    to have been built with materialize_stage1=True."""
+    cfg = cfg or index.config()
+    td_path = os.path.join(index.path, "term_doc")
+    if not os.path.exists(td_path):
+        raise ValueError("compact requires a materialized stage-1 term_doc table")
+    dels = load_deletes(spark, index)
+    td = spark.read.parquet(td_path).select("doc_id", "term_id", "shard", "tf", "doc_len")
+    if dels is not None:
+        td = td.join(F.broadcast(dels), "doc_id", "left_anti")
+    # rewrite term_doc first so future compactions/merges see the new truth
+    tmp = td_path + "_compacting"
+    td.withColumn("wave", F.pmod(F.col("shard"), F.lit(cfg.build_waves))).write.partitionBy(
+        "wave"
+    ).mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(td_path)
+    os.replace(tmp, td_path)
+    idx = rebuild_from_term_doc(
+        spark, spark.read.parquet(td_path), index.path, cfg, run_id="compact"
+    )
+    p = deletes_path(index)
+    if os.path.exists(p):
+        shutil.rmtree(p)
+    return idx

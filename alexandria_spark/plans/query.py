@@ -178,7 +178,9 @@ def search(
     if mode == "and":
         agg = agg.where(F.col("n_terms") == len(term_ids))
     agg = agg.withColumn("n_terms", F.col("n_terms").cast("int"))
-    return top_k(agg, k)
+    from alexandria_spark.plans.delete import filter_deleted
+
+    return top_k(filter_deleted(spark, index, agg), k)
 
 
 def top_k(df: DataFrame, k: int, score_col: str = "score", id_col: str = "doc_id") -> DataFrame:
@@ -243,6 +245,9 @@ class QueryEngine:
         )
         if mode == "and":
             agg = agg.where(F.col("n_terms") == len(term_ids))
+        from alexandria_spark.plans.delete import filter_deleted
+
+        agg = filter_deleted(self.spark, self.index, agg)
         return top_k(agg.withColumn("n_terms", F.col("n_terms").cast("int")), k)
 
 
@@ -269,6 +274,14 @@ class LocalIndex:
 
     def __init__(self, spark: SparkSession, index: Index, cfg: EngineConfig | None = None):
         self.cfg = cfg or index.config()
+        from alexandria_spark.plans.delete import load_deletes
+
+        dels = load_deletes(spark, index)
+        self.deleted = (
+            np.sort(np.array([r.doc_id for r in dels.collect()], dtype=np.int64).view(np.uint64))
+            if dels is not None
+            else np.empty(0, np.uint64)
+        )
         pdf = index.postings(spark).select(
             "term_id", "salt", "block_id", "n", "min_doc", "max_doc",
             "max_score", "doc_deltas", "scores",
@@ -320,6 +333,11 @@ class LocalIndex:
         else:  # or | phrase (a phrase is a single-term disjunction)
             res = self._search_or(tids, k)
         docs_u, scores = res
+        if len(self.deleted) and len(docs_u):
+            pos = np.searchsorted(self.deleted, docs_u)
+            pos_c = np.minimum(pos, len(self.deleted) - 1)
+            keep = self.deleted[pos_c] != docs_u
+            docs_u, scores = docs_u[keep], scores[keep]
         if len(docs_u) == 0:
             return []
         order = np.lexsort((docs_u, -scores))[:k]

@@ -1,0 +1,52 @@
+"""Tombstone deletes + compaction (doc-store remove/versioning analogue)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from alexandria_spark.config import EngineConfig
+from alexandria_spark.plans.build import build_index, with_doc_ids
+from alexandria_spark.plans.delete import compact, delete_docs
+from alexandria_spark.plans.query import LocalIndex, QueryEngine, search
+from alexandria_spark.sources.tables import synth_corpus, synth_corpus_pdf
+from tests.oracle import OracleIndex
+
+CFG = EngineConfig(num_shards=8, block_size=16, shuffle_partitions=8,
+                   build_waves=1, max_postings_per_salt=64)
+
+
+def test_delete_and_compact(spark, tmp_path):
+    docs = with_doc_ids(synth_corpus(spark, 80, seed=33))
+    idx = build_index(spark, docs, str(tmp_path / "idx"), CFG, text_col="content")
+
+    before = [r.doc_id for r in search(spark, idx, "def", "or", k=5).collect()]
+    assert before
+    victims = before[:2]
+    delete_docs(spark, idx, victims)
+
+    # all three query paths hide tombstoned docs immediately
+    after = [r.doc_id for r in search(spark, idx, "def", "or", k=5).collect()]
+    assert not set(victims) & set(after)
+    local = LocalIndex(spark, idx, CFG)
+    assert not set(victims) & {d for d, _ in local.search("def", "or", 5)}
+    qe = QueryEngine(spark, idx, CFG, cache=False)
+    assert not set(victims) & {r.doc_id for r in qe.search("def", "or", 5).collect()}
+
+    # compaction rebuilds: identical to a fresh build over the retained docs
+    compact(spark, idx, CFG)
+    retained = docs.where(~F.col("doc_id").isin([int(v) for v in victims]))
+    clean = build_index(spark, retained, str(tmp_path / "clean"), CFG, text_col="content")
+    a = sorted(map(tuple, idx.postings(spark).drop("wave", "salt", "block_id").collect()))
+    b = sorted(map(tuple, clean.postings(spark).drop("wave", "salt", "block_id").collect()))
+    assert a == b
+    assert idx.meta()["n_docs"] == clean.meta()["n_docs"]
+
+    # post-compaction scores are rank-identical to the oracle on retained docs
+    pdf = synth_corpus_pdf(80, seed=33)
+    ids = {r["path"]: r["doc_id"] for r in docs.select("path", "doc_id").collect()}
+    oracle = OracleIndex(
+        [(ids[r.path], r.content) for r in pdf.itertuples() if ids[r.path] not in victims],
+        CFG,
+    )
+    got = LocalIndex(spark, idx, CFG).search("def return", "and", 10)
+    exp = oracle.search("def return", "and", 10)
+    assert [d for d, _ in got] == [d for d, _ in exp]

@@ -203,6 +203,149 @@ def decorate(results: DataFrame, docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _bucket_bounds(meta: pd.DataFrame, term_ids: list[int], mode: str,
+                   n_buckets: int):
+    """Doc-space buckets + admissible per-bucket score upper bounds from
+    block METADATA only.
+
+    Bucket boundaries are quantiles of block min_docs (balanced regardless
+    of the doc-id distribution). For each bucket, ub = Σ over terms of the
+    max block max_score overlapping it (terms missing from a bucket
+    contribute 0; in AND mode such buckets are dropped entirely). A doc
+    belongs to exactly one bucket, so evaluating every query-term block
+    overlapping a bucket yields EXACT scores for its docs — which is what
+    makes the two-phase pruning sound.
+    """
+    lows = _u(meta["min_doc"].to_numpy())
+    highs = _u(meta["max_doc"].to_numpy())
+    qs = np.unique(np.quantile(lows, np.linspace(0, 1, n_buckets + 1)[1:-1]).astype(np.uint64))
+    edges = np.concatenate([[np.uint64(0)], qs, [np.uint64(0xFFFFFFFFFFFFFFFF)]])
+    nb = len(edges) - 1
+    # block b overlaps buckets [lo_idx, hi_idx]
+    lo_idx = np.searchsorted(edges, lows, side="right") - 1
+    hi_idx = np.searchsorted(edges, highs, side="right") - 1
+    tids = meta["term_id"].to_numpy(np.int64)
+    ms = meta["max_score"].to_numpy(np.float64)
+    ns = meta["n"].to_numpy(np.int64)
+
+    per_term_max = {t: np.zeros(nb) for t in term_ids}
+    docs_est = np.zeros(nb)
+    for i in range(len(meta)):
+        rng = slice(lo_idx[i], hi_idx[i] + 1)
+        arr = per_term_max[int(tids[i])]
+        arr[rng] = np.maximum(arr[rng], ms[i])
+        docs_est[lo_idx[i]: hi_idx[i] + 1] += ns[i] / (hi_idx[i] + 1 - lo_idx[i])
+    ub = np.zeros(nb)
+    present = np.ones(nb, dtype=bool)
+    for t in term_ids:
+        ub += per_term_max[t]
+        present &= per_term_max[t] > 0
+    if mode == "and":
+        ub[~present] = 0.0
+    return edges, ub, docs_est
+
+
+def search_bmw(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    mode: str = "and",
+    k: int = 10,
+    cfg: EngineConfig | None = None,
+    n_buckets: int = 64,
+) -> list[tuple[int, float]]:
+    """Distributed block-max WAND: two-phase, bucket-granular early
+    termination (exact top-k; collected result).
+
+    Phase 1 evaluates the highest-upper-bound doc-range buckets (enough to
+    cover ~8k docs) exactly — every query-term block overlapping those
+    buckets decodes in one pruned Spark job — producing a lower bound τ̂ =
+    kth best exact score. Phase 2 evaluates only the remaining buckets whose
+    metadata upper bound ≥ τ̂ (often none). Docs in skipped buckets provably
+    score < τ̂. This upgrades the reference's section-at-a-time early exit
+    (search_engine.h:298-352) to per-block max-score bounds at cluster scale.
+    """
+    cfg = cfg or index.config()
+    term_ids = _query_term_ids(query, mode, cfg)
+    if not term_ids:
+        return []
+    shards = sorted({_shard_of(t, cfg.num_shards) for t in term_ids})
+    blocks = index.postings(spark).where(
+        F.col("shard").isin(shards) & F.col("term_id").isin(term_ids)
+    )
+    meta = blocks.select(
+        "term_id", "salt", "block_id", "min_doc", "max_doc", "max_score", "n"
+    ).toPandas()
+    if len(meta) == 0 or (
+        mode == "and" and set(meta["term_id"]) != set(term_ids)
+    ):
+        return []
+    edges, ub, docs_est = _bucket_bounds(meta, term_ids, mode, n_buckets)
+
+    order = np.argsort(-ub)
+    covered, phase1 = 0.0, []
+    for b in order:
+        if ub[b] <= 0:
+            break
+        phase1.append(b)
+        covered += docs_est[b]
+        if covered >= 8 * k and len(phase1) >= 1:
+            break
+
+    nterms = len(term_ids)
+
+    def _eval_buckets(bucket_ids: list[int], lo_u: np.uint64 | None = None):
+        """Decode blocks overlapping the buckets; exact per-doc scores for
+        docs INSIDE the buckets."""
+        umax = np.uint64(0xFFFFFFFFFFFFFFFF)
+        bid = np.array(bucket_ids, dtype=np.int64)
+        lo = edges[bid]
+        # bucket i spans [edges[i], edges[i+1]) except the last, which is
+        # inclusive of the max u64 doc id
+        hi_inc = np.where(edges[bid + 1] == umax, umax, edges[bid + 1] - np.uint64(1))
+        blows = _u(meta["min_doc"].to_numpy())
+        bhighs = _u(meta["max_doc"].to_numpy())
+        touch = np.zeros(len(meta), dtype=bool)
+        for lo_i, hi_i in zip(lo, hi_inc):
+            touch |= (blows <= hi_i) & (bhighs >= lo_i)
+        kept = meta[touch]
+        keys = spark.createDataFrame(kept[["term_id", "salt", "block_id"]])
+        sel = blocks.join(F.broadcast(keys), ["term_id", "salt", "block_id"], "left_semi")
+        pdf = _decode_map(sel).toPandas()
+        if len(pdf) == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        docs_u = _u(pdf["doc_id"].to_numpy())
+        # keep only docs inside the requested buckets (their scores are exact)
+        inside = np.zeros(len(docs_u), dtype=bool)
+        for lo_i, hi_i in zip(lo, hi_inc):
+            inside |= (docs_u >= lo_i) & (docs_u <= hi_i)
+        docs_u = docs_u[inside]
+        scores = pdf["score"].to_numpy(np.float64)[inside]
+        uniq, inv, counts = np.unique(docs_u, return_inverse=True, return_counts=True)
+        summed = np.zeros(len(uniq))
+        np.add.at(summed, inv, scores)
+        if mode == "and":
+            keep = counts == nterms
+            uniq, summed = uniq[keep], summed[keep]
+        return uniq, summed
+
+    docs_u, scores = _eval_buckets(phase1)
+    if len(scores) >= k:
+        tau = np.partition(scores, len(scores) - k)[len(scores) - k]
+    else:
+        tau = -np.inf
+    remaining = [b for b in order if b not in set(phase1) and ub[b] > max(tau, 0.0)]
+    if remaining:
+        d2, s2 = _eval_buckets(remaining)
+        docs_u = np.concatenate([docs_u, d2])
+        scores = np.concatenate([scores, s2])
+    if len(docs_u) == 0:
+        return []
+    top = np.lexsort((docs_u, -scores))[:k]
+    docs_i = docs_u.view(np.int64)
+    return [(int(docs_i[i]), float(scores[i])) for i in top]
+
+
 class QueryEngine:
     """Warm distributed serving: pins the block scan in executor memory and
     the block METADATA on the driver (one-time), so each query plans its

@@ -211,3 +211,14 @@ def test_query_engine_warm_distributed(spark, synth):
         got = [(r.doc_id, r.score) for r in qe.search(q, mode, k=10).collect()]
         assert [d for d, _ in got] == [d for d, _ in exp], (q, mode)
         assert np.allclose([s for _, s in got], [s for _, s in exp], rtol=1e-9)
+
+
+def test_bmw_rank_identity(spark, synth):
+    from alexandria_spark.plans.query import search_bmw
+
+    idx, oracle = synth
+    for q, mode in QUERIES:
+        exp = oracle.search(q, mode, k=10)
+        got = search_bmw(spark, idx, q, mode, k=10, cfg=CFG, n_buckets=16)
+        assert [d for d, _ in got] == [d for d, _ in exp], (q, mode, got[:3], exp[:3])
+        assert np.allclose([s for _, s in got], [s for _, s in exp], rtol=1e-9), (q, mode)

@@ -446,20 +446,47 @@ def build_index(
     meta_path = os.path.join(index_path, "meta.json")
     if not log.is_done("stage2_stats", fp):
         t0 = time.time()
-        stats_df = corpus_stats_pass(docs, cfg, id_col, text_col).persist()
-        stats_df.where(F.col("kind") == 0).select(
-            F.col("key").alias("doc_id"), F.col("val").alias("doc_len")
-        ).write.mode("overwrite").parquet(dl_path)
-        stats_df.where(F.col("kind") == 1).groupBy(
-            F.col("key").alias("term_id")
-        ).agg(F.sum("val").alias("df")).write.mode("overwrite").parquet(ts_path)
-        stats = stats_df.where(F.col("kind") == 0).agg(
-            F.count("*").alias("n"), F.avg("val").alias("avg")
-        ).collect()[0]
-        stats_df.unpersist()
+        stats_df = corpus_stats_pass(docs, cfg, id_col, text_col)
+        # pre-aggregate the partial dfs so the driver fetch is vocab-sized
+        agg = stats_df.groupBy("kind", "key").agg(F.sum("val").alias("val"))
+        # one job: fetch the (tiny) stats to the driver; all derived tables
+        # are then local pyarrow writes — no further Spark jobs. Falls back
+        # to distributed writes past the size gate (huge corpora).
+        gate = 20_000_000
+        pdf = agg.limit(gate + 1).toPandas()
+        if len(pdf) > gate:
+            stats_df = agg.persist()
+            stats_df.where(F.col("kind") == 0).select(
+                F.col("key").alias("doc_id"), F.col("val").alias("doc_len")
+            ).write.mode("overwrite").parquet(dl_path)
+            stats_df.where(F.col("kind") == 1).select(
+                F.col("key").alias("term_id"), F.col("val").alias("df")
+            ).write.mode("overwrite").parquet(ts_path)
+            stats = stats_df.where(F.col("kind") == 0).agg(
+                F.count("*").alias("n"), F.avg("val").alias("avg")
+            ).collect()[0]
+            n_docs, avg_dl = int(stats["n"] or 0), float(stats["avg"] or 0.0)
+            stats_df.unpersist()
+        else:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            dl_pd = pdf[pdf["kind"] == 0]
+            ts_pd = pdf[pdf["kind"] == 1]
+            for p, tbl in (
+                (dl_path, pa.table({"doc_id": dl_pd["key"], "doc_len": dl_pd["val"]})),
+                (ts_path, pa.table({"term_id": ts_pd["key"], "df": ts_pd["val"]})),
+            ):
+                os.makedirs(p, exist_ok=True)
+                pq.write_table(tbl, os.path.join(p, "part-00000.parquet"))
+                open(os.path.join(p, "_SUCCESS"), "w").close()
+            n_docs = int(len(dl_pd))
+            # exact int sum then one float division — matches the oracle's
+            # (and Spark avg's) semantics, unlike pandas' pairwise mean
+            avg_dl = (float(int(dl_pd["val"].sum())) / n_docs) if n_docs else 0.0
         meta = {
-            "n_docs": int(stats["n"] or 0),
-            "avg_dl": float(stats["avg"] or 0.0),
+            "n_docs": n_docs,
+            "avg_dl": avg_dl,
             "config": asdict(cfg),
             "fingerprint": fp,
             "run_id": run_id,

@@ -22,9 +22,14 @@ def doc_term_counts(
     docs: DataFrame, cfg: EngineConfig = DEFAULT,
     id_col: str = "doc_id", text_col: str = "text",
 ) -> DataFrame:
-    """(doc_id, term, tf, doc_len) — per-document term frequencies."""
+    """(doc_id, term, tf, doc_len) — per-document term frequencies.
+    tf/doc_len surface as BIGINT (the engine carries them as int32
+    internally for shuffle width)."""
     return tokenize_docs(docs, cfg, id_col, text_col, keep_term=True).select(
-        "doc_id", "term", "tf", "doc_len"
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("doc_len").cast("long").alias("doc_len"),
     )
 
 

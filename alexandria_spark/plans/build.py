@@ -69,8 +69,8 @@ def term_doc_schema(keep_term: bool) -> StructType:
     fields += [
         StructField("term_id", LongType()),
         StructField("shard", IntegerType()),
-        StructField("tf", LongType()),
-        StructField("doc_len", LongType()),
+        StructField("tf", IntegerType()),      # int32: halves the hot columns
+        StructField("doc_len", IntegerType()),
     ]
     return StructType(fields)
 
@@ -101,8 +101,8 @@ def tokenize_docs(
                 "doc_id": ids[tc["row"].to_numpy()],
                 "term_id": tid,
                 "shard": (tid.view(np.uint64) % np.uint64(num_shards)).astype(np.int32),
-                "tf": tc["tf"].to_numpy(np.int64),
-                "doc_len": tc["doc_len"].to_numpy(np.int64),
+                "tf": tc["tf"].to_numpy(np.int32),
+                "doc_len": tc["doc_len"].to_numpy(np.int32),
             }
             if keep_term:
                 out["term"] = tc["term"].to_numpy()

@@ -8,16 +8,19 @@ basic_index_builder.h merge at :198-211):
           doc_len are computed inside the batch (map-side pre-aggregation),
           so the shuffle carries one row per (doc, distinct term), not per
           token. Output written once, partitioned by build wave.
-  stage2  corpus stats                 — doc_lengths (groupBy doc), term_stats
-          (groupBy term → document frequency), N / avgdl. The reference uses
-          a HyperLogLog doc counter (sharded_builder.h:72,103); at Spark
-          scale the exact distinct count is a cheap byproduct of the
-          doc_lengths aggregation.
-  stage3  per wave: join df stats → BM25 score (JVM-side, whole-stage
-          codegen; formula of sharded_builder.h:175-201) → salt skewed terms
-          → repartition by (shard, salt) → sortWithinPartitions by unsigned
-          doc id → mapInPandas block builder (delta+varint, block-max) →
-          dynamic-partition-overwrite parquet write.
+  stage2  corpus stats                 — ONE light tokenizer pass emits per-doc
+          lengths + per-batch partial dfs; one aggregate job fetches the
+          (vocab+docs)-sized result to the driver, which writes doc_lengths/
+          term_stats locally (size-gated; falls back to distributed writes).
+          The reference's analogue is the HLL doc counter + in-RAM
+          document_sizes map (sharded_builder.h:72-73,103).
+  stage3  per wave: salt hot terms → repartition by (term-hash, salt) →
+          sortWithinPartitions by unsigned doc id → mapInPandas block
+          builder, which computes df LOCALLY per shard group (hot terms'
+          exact dfs ride in a tiny broadcast dict), scores BM25 in numpy
+          (formula of sharded_builder.h:175-201), and emits delta+varint
+          blocks with block-max metadata → dynamic-partition-overwrite
+          parquet write. ONE full-data shuffle total.
 
 Skew: the reference *truncates* hot posting lists at
 ft_max_results_per_section (basic_index_builder.h:383-390). We instead salt
@@ -366,6 +369,18 @@ class Index:
         return EngineConfig(**self.meta()["config"])
 
     def postings(self, spark: SparkSession) -> DataFrame:
+        # an empty build writes no files; surface an empty, correctly-typed
+        # relation instead of a schema-inference error
+        has_files = any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(self.postings_path)
+            for f in files
+        ) if os.path.isdir(self.postings_path) else False
+        if not has_files:
+            empty = spark.createDataFrame([], BLOCK_SCHEMA)
+            return empty.withColumn("wave", F.lit(0)).select(
+                *BLOCK_SCHEMA.fieldNames(), "wave"
+            )
         return spark.read.parquet(self.postings_path)
 
     def doc_lengths(self, spark: SparkSession) -> DataFrame:
@@ -379,11 +394,23 @@ class Index:
 
 
 def _fingerprint(cfg: EngineConfig, docs: DataFrame, extra: str = "") -> str:
+    """Input lineage fingerprint: config + source files; for purely in-memory
+    inputs (no files), the logical plan's semantic hash disambiguates two
+    different corpora targeting the same index path."""
     try:
         files = sorted(docs.inputFiles())
     except Exception:
         files = []
-    basis = json.dumps({"cfg": asdict(cfg), "files": files, "extra": extra}, sort_keys=True)
+    plan_hash = ""
+    if not files:
+        try:
+            plan_hash = str(docs._jdf.queryExecution().analyzed().semanticHash())
+        except Exception:
+            plan_hash = str(docs.schema)
+    basis = json.dumps(
+        {"cfg": asdict(cfg), "files": files, "plan": plan_hash, "extra": extra},
+        sort_keys=True,
+    )
     return hashlib.sha256(basis.encode()).hexdigest()
 
 
@@ -428,7 +455,10 @@ def build_index(
             )
             term_doc.write.partitionBy("wave").mode("overwrite").parquet(td_path)
             log.mark_done("stage1_term_doc", fp, run_id, wall_ms=int(1000 * (time.time() - t0)))
-        term_doc = spark.read.parquet(td_path)
+        # explicit schema: an empty corpus writes no files, which would
+        # otherwise fail schema inference
+        td_schema = term_doc_schema(keep_term).add("wave", IntegerType())
+        term_doc = spark.read.schema(td_schema).parquet(td_path)
     else:
         term_doc = tokenize_docs(docs, cfg, id_col, text_col, keep_term).withColumn(
             "wave", F.pmod(F.col("shard"), F.lit(cfg.build_waves))

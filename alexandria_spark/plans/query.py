@@ -12,10 +12,16 @@ Two execution paths, both reading the same block tables:
 * ``LocalIndex`` — the low-latency serving path (the analogue of the
   reference's RAM-cached readers, index_reader.cpp:59-89): block metadata is
   pinned in memory, and queries run a vectorized term-at-a-time
-  quit/continue evaluation with block-max skipping — only blocks that can
-  still affect the top-k are decoded. This upgrades the reference's
-  section-at-a-time early exit (search_engine.h:298-352) with per-block
-  max-score bounds.
+  quit/continue evaluation (the max_score family of Turtle & Flood, "Query
+  evaluation: strategies and optimizations", 1995) with per-block max-score
+  skipping in the spirit of Block-Max WAND (Ding & Suel, "Faster top-k
+  document retrieval using block-max indexes", SIGIR 2011) — only blocks
+  that can still affect the top-k are decoded. This upgrades the reference's
+  section-at-a-time early exit (search_engine.h:298-352).
+
+* ``search_bmw`` — the distributed early-termination path: bucket-granular
+  two-phase block-max pruning (exact top-k) for posting lists beyond one
+  node.
 
 Ordering contract (rank identity): score DESC, then doc_id ASC in *unsigned*
 64-bit order — the reference sorts by score desc with value-asc storage

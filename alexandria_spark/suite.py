@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
 from alexandria_spark.config import DEFAULT, EngineConfig
-from alexandria_spark.operators import analysis, dedup, multimodal, serving, similarity
+from alexandria_spark.operators import analysis, dedup, graph, multimodal, serving, similarity
 from alexandria_spark.operators.text import (
     bm25_postings,
     bm25_query,
@@ -286,6 +286,7 @@ ENTRIES: dict[str, tuple] = {
     **similarity.ENTRIES,
     **multimodal.ENTRIES,
     **serving.ENTRIES,
+    **graph.ENTRIES,
 }
 
 

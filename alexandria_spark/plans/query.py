@@ -400,6 +400,125 @@ class QueryEngine:
         return top_k(agg.withColumn("n_terms", F.col("n_terms").cast("int")), k)
 
 
+
+# ---------------------------------------------------- WAND kernel (shared)
+# Used by LocalIndex (whole-index, driver RAM) and by the doc-partitioned
+# layout (per-bucket, inside applyInPandas on executors).
+
+def _term_map(pdf: pd.DataFrame) -> dict[int, dict]:
+    """Block rows → per-term arrays (metadata + encoded payloads)."""
+    terms: dict[int, dict] = {}
+    for tid, g in pdf.groupby("term_id", sort=False):
+        # order blocks by (salt, block_id) => unsigned-doc-sorted runs per salt
+        g = g.sort_values(["salt", "block_id"], kind="stable")
+        terms[int(tid)] = {
+            "min": _u(g["min_doc"].to_numpy()),
+            "max": _u(g["max_doc"].to_numpy()),
+            "ms": g["max_score"].to_numpy(np.float32),
+            "n": g["n"].to_numpy(np.int64),
+            "deltas": g["doc_deltas"].tolist(),
+            "scores": g["scores"].tolist(),
+            "np": int(g["n"].sum()),
+            "S": float(g["max_score"].max()) if len(g) else 0.0,
+        }
+    return terms
+
+
+def _decode_term(t: dict, which: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Decode the selected blocks of one term → (docs_u64, scores_f32)."""
+    if len(which) == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.float32)
+    deltas = varint_decode(b"".join(t["deltas"][i] for i in which))
+    ns = t["n"][which]
+    starts = np.zeros(len(which), np.int64)
+    np.cumsum(ns[:-1], out=starts[1:])
+    cs = np.cumsum(deltas, dtype=np.uint64)
+    base = cs[starts] - deltas[starts]
+    docs = cs - np.repeat(base, ns)
+    scores = np.frombuffer(b"".join(t["scores"][i] for i in which), dtype="<f4")
+    return docs, scores
+
+
+def _blocks_containing(t: dict, cand: np.ndarray) -> np.ndarray:
+    """Indices of blocks whose [min,max] contains >=1 of sorted cand."""
+    lo = np.searchsorted(cand, t["min"], side="left")
+    hi = np.searchsorted(cand, t["max"], side="right")
+    return np.nonzero(hi > lo)[0]
+
+
+def _wand_and(terms: dict[int, dict], tids: list[int]) -> tuple[np.ndarray, np.ndarray]:
+    """Conjunctive evaluation: rarest list drives; other terms decode only
+    blocks containing surviving candidates."""
+    empty = (np.empty(0, np.uint64), np.empty(0, np.float64))
+    infos = []
+    for tid in tids:
+        t = terms.get(tid)
+        if t is None:
+            return empty
+        infos.append(t)
+    infos.sort(key=lambda t: t["np"])  # rarest list drives
+    drv = infos[0]
+    cand, cscore = _decode_term(drv, np.arange(len(drv["n"])))
+    order = np.argsort(cand, kind="stable")
+    cand, cscore = cand[order], cscore[order].astype(np.float64)
+    for t in infos[1:]:
+        if len(cand) == 0:
+            return empty
+        which = _blocks_containing(t, cand)
+        docs, scores = _decode_term(t, which)
+        if len(docs) == 0:
+            return empty
+        o = np.argsort(docs, kind="stable")
+        docs, scores = docs[o], scores[o]
+        pos = np.searchsorted(docs, cand, side="left")
+        pos_c = np.minimum(pos, len(docs) - 1)
+        hit = docs[pos_c] == cand
+        cand, cscore = cand[hit], cscore[hit] + scores[pos_c[hit]].astype(np.float64)
+    return cand, cscore
+
+
+def _wand_or(terms: dict[int, dict], tids: list[int], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Disjunctive term-at-a-time quit/continue with block-max skipping."""
+    infos = [terms[t] for t in tids if t in terms]
+    if not infos:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+    infos.sort(key=lambda t: -t["S"])  # highest potential first
+    suffix = np.zeros(len(infos) + 1)
+    for i in range(len(infos) - 1, -1, -1):
+        suffix[i] = suffix[i + 1] + infos[i]["S"]
+
+    acc_docs = np.empty(0, np.uint64)
+    acc_scores = np.empty(0, np.float64)
+    frozen = False  # True => no new accumulators (quit -> continue phase)
+    for i, t in enumerate(infos):
+        if not frozen and len(acc_docs) >= k:
+            kth = np.partition(acc_scores, len(acc_scores) - k)[len(acc_scores) - k]
+            if kth >= suffix[i]:
+                frozen = True  # docs unseen so far can never reach top-k
+        if frozen:
+            which = _blocks_containing(t, acc_docs)
+        else:
+            which = np.arange(len(t["n"]))
+        docs, scores = _decode_term(t, which)
+        if len(docs) == 0:
+            continue
+        o = np.argsort(docs, kind="stable")
+        docs, scores = docs[o], scores[o].astype(np.float64)
+        if frozen:
+            pos = np.searchsorted(acc_docs, docs)
+            pos_c = np.minimum(pos, len(acc_docs) - 1)
+            hit = acc_docs[pos_c] == docs
+            np.add.at(acc_scores, pos_c[hit], scores[hit])
+        else:
+            both = np.concatenate([acc_docs, docs])
+            vals = np.concatenate([acc_scores, scores])
+            uniq, inv = np.unique(both, return_inverse=True)
+            summed = np.zeros(len(uniq), np.float64)
+            np.add.at(summed, inv, vals)
+            acc_docs, acc_scores = uniq, summed
+    return acc_docs, acc_scores
+
+
 # ------------------------------------------------------------------ local
 
 class LocalIndex:
@@ -435,43 +554,7 @@ class LocalIndex:
             "term_id", "salt", "block_id", "n", "min_doc", "max_doc",
             "max_score", "doc_deltas", "scores",
         ).toPandas()
-        self.terms: dict[int, dict] = {}
-        for tid, g in pdf.groupby("term_id", sort=False):
-            # order blocks by (salt, block_id) => unsigned-doc-sorted runs per salt
-            g = g.sort_values(["salt", "block_id"], kind="stable")
-            self.terms[int(tid)] = {
-                "min": _u(g["min_doc"].to_numpy()),
-                "max": _u(g["max_doc"].to_numpy()),
-                "ms": g["max_score"].to_numpy(np.float32),
-                "n": g["n"].to_numpy(np.int64),
-                "deltas": g["doc_deltas"].tolist(),
-                "scores": g["scores"].tolist(),
-                "np": int(g["n"].sum()),
-                "S": float(g["max_score"].max()) if len(g) else 0.0,
-            }
-
-    # -- block decode helpers -------------------------------------------
-    @staticmethod
-    def _decode(t: dict, which: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Decode the selected blocks of one term → (docs_u64, scores_f32)."""
-        if len(which) == 0:
-            return np.empty(0, np.uint64), np.empty(0, np.float32)
-        deltas = varint_decode(b"".join(t["deltas"][i] for i in which))
-        ns = t["n"][which]
-        starts = np.zeros(len(which), np.int64)
-        np.cumsum(ns[:-1], out=starts[1:])
-        cs = np.cumsum(deltas, dtype=np.uint64)
-        base = cs[starts] - deltas[starts]
-        docs = cs - np.repeat(base, ns)
-        scores = np.frombuffer(b"".join(t["scores"][i] for i in which), dtype="<f4")
-        return docs, scores
-
-    @staticmethod
-    def _blocks_containing(t: dict, cand: np.ndarray) -> np.ndarray:
-        """Indices of blocks whose [min,max] contains >=1 of sorted cand."""
-        lo = np.searchsorted(cand, t["min"], side="left")
-        hi = np.searchsorted(cand, t["max"], side="right")
-        return np.nonzero(hi > lo)[0]
+        self.terms = _term_map(pdf)
 
     def search(self, query: str, mode: str = "and", k: int = 10) -> list[tuple[int, float]]:
         tids = _query_term_ids(query, mode, self.cfg)
@@ -493,70 +576,8 @@ class LocalIndex:
         docs_i = docs_u.view(np.int64)
         return [(int(docs_i[i]), float(scores[i])) for i in order]
 
-    def _search_and(self, tids: list[int]) -> tuple[np.ndarray, np.ndarray]:
-        empty = (np.empty(0, np.uint64), np.empty(0, np.float64))
-        infos = []
-        for tid in tids:
-            t = self.terms.get(tid)
-            if t is None:
-                return empty
-            infos.append(t)
-        infos.sort(key=lambda t: t["np"])  # rarest list drives
-        drv = infos[0]
-        cand, cscore = self._decode(drv, np.arange(len(drv["n"])))
-        order = np.argsort(cand, kind="stable")
-        cand, cscore = cand[order], cscore[order].astype(np.float64)
-        for t in infos[1:]:
-            if len(cand) == 0:
-                return empty
-            which = self._blocks_containing(t, cand)
-            docs, scores = self._decode(t, which)
-            o = np.argsort(docs, kind="stable")
-            docs, scores = docs[o], scores[o]
-            pos = np.searchsorted(docs, cand, side="left")
-            pos_c = np.minimum(pos, len(docs) - 1) if len(docs) else pos
-            hit = len(docs) > 0 and (docs[pos_c] == cand)
-            if isinstance(hit, bool):
-                return empty
-            cand, cscore = cand[hit], cscore[hit] + scores[pos_c[hit]].astype(np.float64)
-        return cand, cscore
+    def _search_and(self, tids: list[int]):
+        return _wand_and(self.terms, tids)
 
-    def _search_or(self, tids: list[int], k: int) -> tuple[np.ndarray, np.ndarray]:
-        infos = [self.terms[t] for t in tids if t in self.terms]
-        if not infos:
-            return np.empty(0, np.uint64), np.empty(0, np.float64)
-        infos.sort(key=lambda t: -t["S"])  # highest potential first
-        suffix = np.zeros(len(infos) + 1)
-        for i in range(len(infos) - 1, -1, -1):
-            suffix[i] = suffix[i + 1] + infos[i]["S"]
-
-        acc_docs = np.empty(0, np.uint64)
-        acc_scores = np.empty(0, np.float64)
-        frozen = False  # True => no new accumulators (quit -> continue phase)
-        for i, t in enumerate(infos):
-            if not frozen and len(acc_docs) >= k:
-                kth = np.partition(acc_scores, len(acc_scores) - k)[len(acc_scores) - k]
-                if kth >= suffix[i]:
-                    frozen = True  # docs unseen so far can never reach top-k
-            if frozen:
-                which = self._blocks_containing(t, acc_docs)
-            else:
-                which = np.arange(len(t["n"]))
-            docs, scores = self._decode(t, which)
-            if len(docs) == 0:
-                continue
-            o = np.argsort(docs, kind="stable")
-            docs, scores = docs[o], scores[o].astype(np.float64)
-            if frozen:
-                pos = np.searchsorted(acc_docs, docs)
-                pos_c = np.minimum(pos, len(acc_docs) - 1)
-                hit = acc_docs[pos_c] == docs
-                np.add.at(acc_scores, pos_c[hit], scores[hit])
-            else:
-                both = np.concatenate([acc_docs, docs])
-                vals = np.concatenate([acc_scores, scores])
-                uniq, inv = np.unique(both, return_inverse=True)
-                summed = np.zeros(len(uniq), np.float64)
-                np.add.at(summed, inv, vals)
-                acc_docs, acc_scores = uniq, summed
-        return acc_docs, acc_scores
+    def _search_or(self, tids: list[int], k: int):
+        return _wand_or(self.terms, tids, k)

@@ -1,0 +1,196 @@
+"""Doc-partitioned index layout: distributed WAND serving.
+
+The term-partitioned layout (plans/build.py) mirrors the reference's
+``key % num_shards`` sharding and is ideal for single-term lookups and
+build-side merging. For multi-term top-k at cluster scale, search engines
+partition by DOCUMENT instead (the reference's own cluster split is
+host_hash % nodes, src/URL.h:76-78): every bucket holds the postings of ALL
+terms for its slice of the doc space, so each executor runs the full
+block-max WAND locally over its slice and only per-bucket top-k rows travel
+to the driver — one Spark job, no global metadata, no driver-side decode.
+
+Build: term_doc → df join (BM25 needs global df; vocabulary-sized join, not
+broadcast) → bucket = hash(doc_id) % n_buckets → repartition(bucket) →
+sort (bucket, term, unsigned doc) → the SAME block builder (bucket rides in
+the block's salt slot) → parquet partitioned by bucket.
+
+Query: scan pruned to the query terms (row-group stats on term_id inside
+each bucket dir), groupBy(bucket).applyInPandas(per-bucket WAND kernel),
+global TakeOrdered merge.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from alexandria_spark.config import DEFAULT, EngineConfig
+from alexandria_spark.plans.blocks import build_blocks
+from alexandria_spark.plans.build import (
+    MIN_I64,
+    BLOCK_SCHEMA,
+    Index,
+    bm25_score_col,
+    corpus_stats_pass,
+    tokenize_docs,
+)
+from alexandria_spark.plans.query import (
+    RESULT_SCHEMA,
+    _query_term_ids,
+    _term_map,
+    _wand_and,
+    _wand_or,
+    top_k,
+)
+
+
+class DocPartitionedIndex(Index):
+    @property
+    def postings_path(self) -> str:
+        return os.path.join(self.path, "postings_doc")
+
+
+def build_docpart_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_path: str,
+    cfg: EngineConfig = DEFAULT,
+    n_buckets: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DocPartitionedIndex:
+    n_buckets = n_buckets or cfg.num_shards
+    os.makedirs(index_path, exist_ok=True)
+    idx = DocPartitionedIndex(index_path)
+
+    # corpus stats (same light pass as the term layout)
+    stats_pdf = (
+        corpus_stats_pass(docs, cfg, id_col, text_col)
+        .groupBy("kind", "key").agg(F.sum("val").alias("val"))
+    )
+    term_stats = stats_pdf.where(F.col("kind") == 1).select(
+        F.col("key").alias("term_id"), F.col("val").alias("df")
+    )
+    dl = stats_pdf.where(F.col("kind") == 0)
+    st = dl.agg(F.count("*").alias("n"), F.avg("val").alias("avg")).collect()[0]
+    n_docs, avg_dl = int(st["n"] or 0), float(st["avg"] or 0.0)
+    with open(os.path.join(index_path, "meta.json"), "w") as fh:
+        json.dump(
+            {"n_docs": n_docs, "avg_dl": avg_dl, "config": asdict(cfg),
+             "layout": "doc", "n_buckets": n_buckets,
+             "fingerprint": "docpart", "run_id": "docpart"}, fh,
+        )
+
+    td = tokenize_docs(docs, cfg, id_col, text_col)
+    scored = (
+        td.join(term_stats, "term_id")
+        .withColumn("score", bm25_score_col(n_docs, avg_dl, cfg))
+        .withColumn("salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast("int"))
+        .select("term_id", "salt", "doc_id", "tf", "score")
+    )
+    parts = scored.repartition(cfg.shuffle_partitions, "salt").sortWithinPartitions(
+        F.col("salt"), F.col("term_id"), F.col("doc_id").bitwiseXOR(F.lit(MIN_I64))
+    )
+    block_size, keep_tf = cfg.block_size, cfg.keep_tf
+
+    def fn(batches):
+        # one bucket's rows arrive contiguously; group integrity across Arrow
+        # batches is handled the same way as the term layout (tail buffering)
+        buf: list[pd.DataFrame] = []
+        tail_key = None
+        cols = ["term_id", "salt", "doc_id", "score", "tf"]
+
+        def _finish(pdf):
+            # build_blocks groups by (term_id, salt): salt is constant per
+            # bucket run, so blocks are per (bucket, term) — what WAND wants
+            pdf = pdf.sort_values("salt", kind="stable")  # bucket-major
+            out = build_blocks(
+                pdf.sort_values(["salt", "term_id"], kind="stable")
+                   .reset_index(drop=True)[cols],
+                block_size, keep_tf,
+            )
+            out["shard"] = out["salt"].astype(np.int32)
+            return out
+
+        for pdf in batches:
+            pdf = pdf[cols]
+            if len(pdf) == 0:
+                continue
+            t = pdf["term_id"].to_numpy()
+            sbk = pdf["salt"].to_numpy()
+            first_key = (int(sbk[0]), int(t[0]))
+            if buf and first_key != tail_key:
+                yield _finish(pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0])
+                buf = []
+            not_tail = (t != t[-1]) | (sbk != sbk[-1])
+            idx_ = np.nonzero(not_tail)[0]
+            if len(idx_):
+                cut = int(idx_[-1]) + 1
+                head, tail = pdf.iloc[:cut], pdf.iloc[cut:]
+                if buf:
+                    head = pd.concat(buf + [head], ignore_index=True)
+                    buf = []
+                yield _finish(head)
+                buf = [tail.reset_index(drop=True)]
+            else:
+                buf.append(pdf)
+            tail_key = (int(sbk[-1]), int(t[-1]))
+        if buf:
+            whole = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            if len(whole):
+                yield _finish(whole)
+
+    blocks = parts.mapInPandas(fn, BLOCK_SCHEMA).withColumn("bucket", F.col("salt"))
+    blocks.write.partitionBy("bucket").mode("overwrite").parquet(idx.postings_path)
+    return idx
+
+
+def search_docpart(
+    spark: SparkSession,
+    index: DocPartitionedIndex,
+    query: str,
+    mode: str = "and",
+    k: int = 10,
+    cfg: EngineConfig | None = None,
+) -> DataFrame:
+    """One-job distributed WAND: per-bucket exact top-k on executors via the
+    shared kernel, global TakeOrdered merge. Returns (doc_id, score, n_terms)."""
+    cfg = cfg or index.config()
+    term_ids = _query_term_ids(query, mode, cfg)
+    if not term_ids:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    blocks = index.postings(spark).where(F.col("term_id").isin(term_ids))
+    nt = len(term_ids)
+    kernel_mode = "and" if mode == "and" else "or"
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        terms = _term_map(pdf)
+        if kernel_mode == "and":
+            docs_u, scores = _wand_and(terms, term_ids)
+        else:
+            docs_u, scores = _wand_or(terms, term_ids, k)
+        if len(docs_u) == 0:
+            return pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                                 "score": np.empty(0, np.float64),
+                                 "n_terms": np.empty(0, np.int32)})
+        order = np.lexsort((docs_u, -scores))[:k]  # local top-k per bucket
+        return pd.DataFrame(
+            {
+                "doc_id": docs_u.view(np.int64)[order],
+                "score": scores[order],
+                # AND results match every term by construction; the OR kernel
+                # does not track per-doc match counts
+                "n_terms": np.int32(nt if kernel_mode == "and" else 0),
+            }
+        )
+
+    per = blocks.groupBy("bucket").applyInPandas(per_bucket, RESULT_SCHEMA)
+    from alexandria_spark.plans.delete import filter_deleted
+
+    return top_k(filter_deleted(spark, index, per), k)

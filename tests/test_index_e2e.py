@@ -222,3 +222,18 @@ def test_bmw_rank_identity(spark, synth):
         got = search_bmw(spark, idx, q, mode, k=10, cfg=CFG, n_buckets=16)
         assert [d for d, _ in got] == [d for d, _ in exp], (q, mode, got[:3], exp[:3])
         assert np.allclose([s for _, s in got], [s for _, s in exp], rtol=1e-9), (q, mode)
+
+
+def test_docpart_rank_identity(spark, synth, tmp_path_factory):
+    from alexandria_spark.plans.docpart import build_docpart_index, search_docpart
+
+    _, oracle = synth
+    pdf = synth_corpus_pdf(n_docs=150, seed=42)
+    docs = with_doc_ids(spark.createDataFrame(pdf))
+    path = str(tmp_path_factory.mktemp("idx_doc"))
+    dp = build_docpart_index(spark, docs, path, CFG, n_buckets=6, text_col="content")
+    for q, mode in QUERIES:
+        exp = oracle.search(q, mode, k=10)
+        got = [(r.doc_id, r.score) for r in search_docpart(spark, dp, q, mode, k=10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in exp], (q, mode, got[:3], exp[:3])
+        assert np.allclose([s for _, s in got], [s for _, s in exp], rtol=1e-9), (q, mode)

@@ -335,14 +335,29 @@ def search_bmw(
             uniq, summed = uniq[keep], summed[keep]
         return uniq, summed
 
-    docs_u, scores = _eval_buckets(phase1)
+    from alexandria_spark.plans.delete import load_deletes
+
+    dels = load_deletes(spark, index)
+    deleted_u = (
+        np.sort(np.array([r.doc_id for r in dels.collect()], dtype=np.int64).view(np.uint64))
+        if dels is not None else np.empty(0, np.uint64)
+    )
+
+    def _drop_deleted(docs_u, scores):
+        if len(deleted_u) == 0 or len(docs_u) == 0:
+            return docs_u, scores
+        pos = np.minimum(np.searchsorted(deleted_u, docs_u), len(deleted_u) - 1)
+        keep = deleted_u[pos] != docs_u
+        return docs_u[keep], scores[keep]
+
+    docs_u, scores = _drop_deleted(*_eval_buckets(phase1))
     if len(scores) >= k:
         tau = np.partition(scores, len(scores) - k)[len(scores) - k]
     else:
         tau = -np.inf
     remaining = [b for b in order if b not in set(phase1) and ub[b] > max(tau, 0.0)]
     if remaining:
-        d2, s2 = _eval_buckets(remaining)
+        d2, s2 = _drop_deleted(*_eval_buckets(remaining))
         docs_u = np.concatenate([docs_u, d2])
         scores = np.concatenate([scores, s2])
     if len(docs_u) == 0:

@@ -30,6 +30,9 @@ def test_delete_and_compact(spark, tmp_path):
     assert not set(victims) & {d for d, _ in local.search("def", "or", 5)}
     qe = QueryEngine(spark, idx, CFG, cache=False)
     assert not set(victims) & {r.doc_id for r in qe.search("def", "or", 5).collect()}
+    from alexandria_spark.plans.query import search_bmw
+
+    assert not set(victims) & {d for d, _ in search_bmw(spark, idx, "def", "or", 5, CFG)}
 
     # compaction rebuilds: identical to a fresh build over the retained docs
     compact(spark, idx, CFG)

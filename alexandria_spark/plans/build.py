@@ -392,6 +392,25 @@ class Index:
     def checkpoints(self) -> list[dict]:
         return CheckpointLog(self.path).records()
 
+    def decoded_postings(self, spark: SparkSession) -> DataFrame:
+        """Full posting iteration surface — (term_id, doc_id, score, tf) rows
+        decoded from the blocks (the reference's for_each, sharded.h:171-188).
+        Lazy/distributed: decoding happens per partition in Arrow batches."""
+        from alexandria_spark.plans.blocks import decode_blocks
+        from pyspark.sql.types import (FloatType as _F, LongType as _L,
+                                       StructField as _SF, StructType as _ST)
+
+        schema = _ST([_SF("term_id", _L()), _SF("doc_id", _L()),
+                      _SF("score", _F()), _SF("tf", _L())])
+
+        def fn(batches):
+            for pdf in batches:
+                yield decode_blocks(pdf, want_tf=True)[
+                    ["term_id", "doc_id", "score", "tf"]
+                ]
+
+        return self.postings(spark).mapInPandas(fn, schema)
+
 
 def _fingerprint(cfg: EngineConfig, docs: DataFrame, extra: str = "") -> str:
     """Input lineage fingerprint: config + source files; for purely in-memory

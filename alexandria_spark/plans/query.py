@@ -128,6 +128,11 @@ def _query_term_ids(query: str, mode: str, cfg: EngineConfig) -> list[int]:
     n_grams >= word count."""
     if mode == "phrase":
         words = tokenize(query, limit=cfg.query_max_words)
+        if len(words) > cfg.n_grams:
+            raise ValueError(
+                f"phrase of {len(words)} words needs an index built with "
+                f"n_grams >= {len(words)} (this index: n_grams={cfg.n_grams})"
+            )
         return [i64_hash64(" ".join(words))] if words else []
     return [tid for _, tid in query_terms(query, limit=cfg.query_max_words)]
 

@@ -237,3 +237,13 @@ def test_docpart_rank_identity(spark, synth, tmp_path_factory):
         got = [(r.doc_id, r.score) for r in search_docpart(spark, dp, q, mode, k=10).collect()]
         assert [d for d, _ in got] == [d for d, _ in exp], (q, mode, got[:3], exp[:3])
         assert np.allclose([s for _, s in got], [s for _, s in exp], rtol=1e-9), (q, mode)
+
+
+def test_decoded_postings_iteration(spark, micro_index):
+    from alexandria_spark.functions.hashing import i64_hash64
+
+    rows = micro_index.decoded_postings(spark).collect()
+    got = {(r.term_id, r.doc_id): r.tf for r in rows}
+    assert got[(i64_hash64("the"), 2)] == 2
+    assert got[(i64_hash64("cat"), 3)] == 3
+    assert len(got) == 5

@@ -95,6 +95,57 @@ def ann_lsh_topk(vectors: DataFrame, query_vec_id: int = 0, k: int = 10) -> Data
     )
 
 
+N_IVF_CENTROIDS = 8
+
+
+def ivf_assign(vectors: DataFrame, n_centroids: int = N_IVF_CENTROIDS) -> DataFrame:
+    """(vec_id, centroid_id) — IVF coarse quantization: assign each vector to
+    its max-cosine centroid (deterministic seed centroids = the first K
+    vectors by id; a k-means refinement would slot in identically). At scale
+    the assignment is a broadcast join + argmax, and ANN probes only the
+    query's cell(s) instead of the full collection."""
+    cents = vectors.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    j = vectors.crossJoin(F.broadcast(cents))
+    cos = _dot(F.col("embedding"), F.col("ce")) / (
+        _norm(F.col("embedding")) * _norm(F.col("ce"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+    return (
+        j.select("vec_id", "centroid_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def ann_ivf_topk(vectors: DataFrame, query_vec_id: int = 0, k: int = 10,
+                 n_probes: int = 1) -> DataFrame:
+    """Approximate top-k: exact cosine within the query's IVF cell(s)."""
+    assign = ivf_assign(vectors)
+    qcell = assign.where(F.col("vec_id") == query_vec_id).select(
+        F.col("centroid_id").alias("qc")
+    )
+    cands = vectors.join(assign, "vec_id").join(
+        F.broadcast(qcell), F.col("centroid_id") == F.col("qc")
+    ).where(F.col("vec_id") != query_vec_id)
+    q = vectors.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qe")
+    )
+    cos = _dot(F.col("embedding"), F.col("qe")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qe"))
+    )
+    return (
+        cands.crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.99,
                              group_col: str = "label") -> DataFrame:
     """(vec_a, vec_b, cos_sim) — embedding-cosine near-duplicate pairs.
@@ -176,8 +227,30 @@ WHERE round({_sql_dot('a.embedding', 'b.embedding')}
                * sqrt({_sql_dot('b.embedding', 'b.embedding')})), 4) >= 0.9e0
 """
 
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_assign(load_table(spark, sf_dir, "embeddings"))
+
+
+SQL_IVF_ASSIGN = f"""
+WITH cents AS (SELECT vec_id AS centroid_id, embedding AS ce
+               FROM embeddings WHERE vec_id < {N_IVF_CENTROIDS}),
+j AS (
+  SELECT e.vec_id, c.centroid_id,
+         {_sql_dot('e.embedding', 'c.ce')}
+           / (sqrt({_sql_dot('e.embedding', 'e.embedding')})
+              * sqrt({_sql_dot('c.ce', 'c.ce')})) AS cos
+  FROM embeddings e CROSS JOIN cents c
+),
+r AS (SELECT vec_id, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, centroid_id ASC) AS rn
+      FROM j)
+SELECT vec_id, centroid_id FROM r WHERE rn = 1
+"""
+
 ENTRIES = {
     "embedding_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
     "embedding_near_dup_pairs": (q_near_dups, SQL_NEAR_DUPS),
+    "embedding_ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
 }

@@ -111,3 +111,20 @@ def test_ann_bucket_contains_exact_neighbors(spark):
     # recall sanity: the bucket holds a reasonable share of true neighbors
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.2, (recall, exact, approx)
+
+def test_ivf_ann(spark):
+    from alexandria_spark.operators.similarity import ann_ivf_topk, ivf_assign
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    assign = {r.vec_id: r.centroid_id for r in ivf_assign(emb).collect()}
+    assert len(assign) == emb.count()
+    assert set(assign.values()) <= set(range(8))
+    # seed centroids assign to themselves (cos(self)=1 is the max)
+    for c in range(8):
+        assert assign[c] == c
+    exact = [r.vec_id for r in cosine_topk(emb, 0, 10).collect()]
+    approx = [r.vec_id for r in ann_ivf_topk(emb, 0, 10).collect()]
+    # every hit shares the query's cell, and recall is sane
+    assert all(assign[v] == assign[0] for v in approx)
+    assert len(set(exact) & set(approx)) / 10 >= 0.2

@@ -94,21 +94,24 @@ def lsh_candidate_pairs(docs: DataFrame, band_size: int = 4) -> DataFrame:
 
 def simhash16(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) — 16-bit SimHash: md5-derived term hash, tf-weighted
-    bit majority vote."""
+    bit majority vote.
+
+    Single-shuffle plan: one groupBy(doc_id) with 16 conditional-sum
+    expressions (map-side partial aggregation applies), instead of exploding
+    a 16-row bit sequence per (doc, term) — 16x less shuffled data.
+    """
     tc = doc_term_counts(docs).withColumn("h", md5_int60(F.col("term")) % 65536)
-    bits = tc.select(
-        "doc_id", "tf", "h", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b")
+    per_doc = tc.groupBy("doc_id").agg(
+        *[
+            F.sum(F.col("tf") * (F.expr(f"shiftright(h, {b}) % 2") * 2 - 1)).alias(f"s{b}")
+            for b in range(16)
+        ]
     )
-    contrib = bits.withColumn(
-        "c", F.col("tf") * (F.expr("shiftright(h, cast(b as int)) % 2") * 2 - 1)
-    )
-    per_bit = contrib.groupBy("doc_id", "b").agg(F.sum("c").alias("s"))
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0,
-                   F.expr("shiftleft(cast(1 as bigint), cast(b as int))")).otherwise(F.lit(0))
-        ).alias("simhash")
-    )
+    bits = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        bits = term if bits is None else bits + term
+    return per_doc.select("doc_id", bits.cast("bigint").alias("simhash"))
 
 
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -191,7 +194,7 @@ per_bit AS (
   FROM bits GROUP BY doc_id, b
 )
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
 FROM per_bit GROUP BY doc_id
 """
 

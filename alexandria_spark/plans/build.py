@@ -457,7 +457,9 @@ def build_index(
     """
     os.makedirs(index_path, exist_ok=True)
     log = CheckpointLog(index_path)
-    fp = _fingerprint(cfg, docs)
+    # schema-affecting params must invalidate stage-1 checkpoints: a resume
+    # with keep_term flipped would otherwise read an all-null 'term' column
+    fp = _fingerprint(cfg, docs, extra=f"keep_term={keep_term};id={id_col};text={text_col}")
     run_id = run_id or f"run-{fp[:12]}"
     idx = Index(index_path)
     td_path = os.path.join(index_path, "term_doc")

@@ -65,3 +65,35 @@ class CheckpointLog:
             with open(os.path.join(self.dir, name)) as fh:
                 out.append(json.load(fh))
         return out
+
+
+def atomic_swap_dir(new_dir: str, dst: str) -> None:
+    """Replace directory ``dst`` with ``new_dir`` without a window where
+    ``dst`` is missing-and-unrecoverable: the old copy is renamed aside to
+    ``dst + '_old'`` first, the new one moved into place, then the old copy
+    deleted. ``recover_swap`` repairs a crash between the renames."""
+    import shutil
+
+    old = dst + "_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(dst):
+        os.replace(dst, old)
+    os.replace(new_dir, dst)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def recover_swap(dst: str) -> None:
+    """If a crash left a dangling ``dst + '_old'``: restore it when ``dst``
+    is missing (crash between the two renames), else drop it (crash after
+    the new dir landed)."""
+    import shutil
+
+    old = dst + "_old"
+    if not os.path.exists(old):
+        return
+    if os.path.exists(dst):
+        shutil.rmtree(old)
+    else:
+        os.replace(old, dst)

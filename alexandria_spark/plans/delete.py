@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from alexandria_spark.config import EngineConfig
 from alexandria_spark.plans.build import Index
+from alexandria_spark.plans.checkpoint import atomic_swap_dir, recover_swap
 from alexandria_spark.plans.merge import rebuild_from_term_doc
 
 
@@ -55,21 +56,22 @@ def compact(spark: SparkSession, index: Index,
     to have been built with materialize_stage1=True."""
     cfg = cfg or index.config()
     td_path = os.path.join(index.path, "term_doc")
+    recover_swap(td_path)  # repair a crash from a previous compact
     if not os.path.exists(td_path):
         raise ValueError("compact requires a materialized stage-1 term_doc table")
     dels = load_deletes(spark, index)
     td = spark.read.parquet(td_path).select("doc_id", "term_id", "shard", "tf", "doc_len")
     if dels is not None:
         td = td.join(F.broadcast(dels), "doc_id", "left_anti")
-    # rewrite term_doc first so future compactions/merges see the new truth
+    # rewrite term_doc first so future compactions/merges see the new truth;
+    # old copy is parked at term_doc_old until the new one is in place, so a
+    # crash mid-swap never destroys the only stage-1 source of truth.
     tmp = td_path + "_compacting"
     td.withColumn("wave", F.pmod(F.col("shard"), F.lit(cfg.build_waves))).write.partitionBy(
         "wave"
     ).mode("overwrite").parquet(tmp)
+    atomic_swap_dir(tmp, td_path)
     import shutil
-
-    shutil.rmtree(td_path)
-    os.replace(tmp, td_path)
     idx = rebuild_from_term_doc(
         spark, spark.read.parquet(td_path), index.path, cfg, run_id="compact"
     )

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from alexandria_spark.config import DEFAULT, EngineConfig
 from alexandria_spark.plans.build import Index, blockify
-from alexandria_spark.plans.checkpoint import CheckpointLog
+from alexandria_spark.plans.checkpoint import CheckpointLog, atomic_swap_dir
 
 
 def rebuild_from_term_doc(
@@ -65,9 +65,14 @@ def rebuild_from_term_doc(
         for r in spark.read.parquet(os.path.join(index_path, "term_stats"))
         .where(F.col("df") > cfg.max_postings_per_salt).collect()
     }
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # Full rebuild replaces the whole postings table: write to a sibling tmp
+    # dir and atomically swap it in. A dynamic partition-overwrite of wave=0
+    # would leave stale wave=1..N-1 (and vanished-shard) partitions behind —
+    # duplicated postings and resurrected tombstoned docs.
     blocks = blockify(td, cfg, n_docs, avg_dl, hot_df).withColumn("wave", F.lit(0))
-    blocks.write.partitionBy("wave", "shard").mode("overwrite").parquet(idx.postings_path)
+    tmp = idx.postings_path.rstrip("/") + "_rebuilding"
+    blocks.write.partitionBy("wave", "shard").mode("overwrite").parquet(tmp)
+    atomic_swap_dir(tmp, idx.postings_path)
     log.mark_done("rebuild", run_id, run_id, docs_processed=n_docs,
                   wall_ms=int(1000 * (time.time() - t0)))
     return idx

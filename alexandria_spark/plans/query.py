@@ -240,20 +240,28 @@ def _bucket_bounds(meta: pd.DataFrame, term_ids: list[int], mode: str,
     ns = meta["n"].to_numpy(np.int64)
 
     per_term_max = {t: np.zeros(nb) for t in term_ids}
+    # coverage (any overlapping block) is tracked separately from max_score:
+    # with short_doc_zero a block can have max_score == 0 yet contain valid
+    # zero-score matches, which must stay reachable when fewer than k
+    # positive-score results exist
+    per_term_cover = {t: np.zeros(nb, dtype=bool) for t in term_ids}
     docs_est = np.zeros(nb)
     for i in range(len(meta)):
         rng = slice(lo_idx[i], hi_idx[i] + 1)
-        arr = per_term_max[int(tids[i])]
+        t = int(tids[i])
+        arr = per_term_max[t]
         arr[rng] = np.maximum(arr[rng], ms[i])
+        per_term_cover[t][rng] = True
         docs_est[lo_idx[i]: hi_idx[i] + 1] += ns[i] / (hi_idx[i] + 1 - lo_idx[i])
     ub = np.zeros(nb)
-    present = np.ones(nb, dtype=bool)
+    cover_all = np.ones(nb, dtype=bool)
+    cover_any = np.zeros(nb, dtype=bool)
     for t in term_ids:
         ub += per_term_max[t]
-        present &= per_term_max[t] > 0
-    if mode == "and":
-        ub[~present] = 0.0
-    return edges, ub, docs_est
+        cover_all &= per_term_cover[t]
+        cover_any |= per_term_cover[t]
+    feasible = cover_all if mode == "and" else cover_any
+    return edges, ub, docs_est, feasible
 
 
 def search_bmw(
@@ -291,17 +299,19 @@ def search_bmw(
         mode == "and" and set(meta["term_id"]) != set(term_ids)
     ):
         return []
-    edges, ub, docs_est = _bucket_bounds(meta, term_ids, mode, n_buckets)
+    edges, ub, docs_est, feasible = _bucket_bounds(meta, term_ids, mode, n_buckets)
 
     order = np.argsort(-ub)
     covered, phase1 = 0.0, []
     for b in order:
-        if ub[b] <= 0:
-            break
+        if not feasible[b]:
+            continue
         phase1.append(b)
         covered += docs_est[b]
-        if covered >= 8 * k and len(phase1) >= 1:
+        if covered >= 8 * k:
             break
+    if not phase1:
+        return []
 
     nterms = len(term_ids)
 
@@ -360,7 +370,12 @@ def search_bmw(
         tau = np.partition(scores, len(scores) - k)[len(scores) - k]
     else:
         tau = -np.inf
-    remaining = [b for b in order if b not in set(phase1) and ub[b] > max(tau, 0.0)]
+    # ub >= tau (not >): a skipped doc scoring exactly tau would tie the kth
+    # score and win the ascending-doc-id tie-break. With tau = -inf (< k
+    # results so far) every feasible bucket is evaluated, keeping zero-score
+    # matches reachable.
+    p1 = set(phase1)
+    remaining = [b for b in order if feasible[b] and b not in p1 and ub[b] >= tau]
     if remaining:
         d2, s2 = _drop_deleted(*_eval_buckets(remaining))
         docs_u = np.concatenate([docs_u, d2])
@@ -513,7 +528,10 @@ def _wand_or(terms: dict[int, dict], tids: list[int], k: int) -> tuple[np.ndarra
     for i, t in enumerate(infos):
         if not frozen and len(acc_docs) >= k:
             kth = np.partition(acc_scores, len(acc_scores) - k)[len(acc_scores) - k]
-            if kth >= suffix[i]:
+            # strict >: an unseen doc reaching exactly suffix[i] ties the kth
+            # score and can win the ascending-doc-id tie-break, so it must
+            # still be admitted as a new accumulator
+            if kth > suffix[i]:
                 frozen = True  # docs unseen so far can never reach top-k
         if frozen:
             which = _blocks_containing(t, acc_docs)

@@ -80,7 +80,7 @@ def q_term_doc_freq(spark, sf_dir):
 
 
 SQL_TERM_DOC_FREQ = SQL_PRELUDE + (
-    "SELECT term, count(*) AS df, sum(tf) AS total_tf FROM tf GROUP BY term"
+    "SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf FROM tf GROUP BY term"
 )
 
 
@@ -104,7 +104,7 @@ def q_top_terms(spark, sf_dir):
 
 
 SQL_TOP_TERMS = SQL_PRELUDE + (
-    "SELECT term, sum(tf) AS total_tf FROM tf GROUP BY term "
+    "SELECT term, CAST(sum(tf) AS BIGINT) AS total_tf FROM tf GROUP BY term "
     "ORDER BY total_tf DESC, term ASC LIMIT 100"
 )
 

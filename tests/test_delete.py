@@ -53,3 +53,30 @@ def test_delete_and_compact(spark, tmp_path):
     got = LocalIndex(spark, idx, CFG).search("def return", "and", 10)
     exp = oracle.search("def return", "and", 10)
     assert [d for d, _ in got] == [d for d, _ in exp]
+
+
+def test_compact_multiwave_no_stale_partitions(spark, tmp_path):
+    """Regression: compact() over an index built with build_waves>1 must not
+    leave the old wave=1..N-1 (or vanished-shard) posting partitions behind —
+    stale partitions mean duplicated postings and resurrected tombstones."""
+    cfg = EngineConfig(num_shards=8, block_size=16, shuffle_partitions=8,
+                       build_waves=4, max_postings_per_salt=64)
+    docs = with_doc_ids(synth_corpus(spark, 60, seed=44))
+    idx = build_index(spark, docs, str(tmp_path / "idx"), cfg, text_col="content")
+
+    # delete almost everything so entire shards (and all waves > 0) empty out
+    all_ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    keep, victims = all_ids[:5], all_ids[5:]
+    delete_docs(spark, idx, victims)
+    compact(spark, idx, cfg)
+
+    retained = docs.where(F.col("doc_id").isin([int(k) for k in keep]))
+    clean = build_index(spark, retained, str(tmp_path / "clean"), cfg, text_col="content")
+    a = sorted(map(tuple, idx.postings(spark).drop("wave", "salt", "block_id").collect()))
+    b = sorted(map(tuple, clean.postings(spark).drop("wave", "salt", "block_id").collect()))
+    assert a == b  # no duplicates, no resurrected docs, no stale shards
+    assert idx.meta()["n_docs"] == len(keep)
+
+    # queries over the compacted index see only retained docs
+    hits = {r.doc_id for r in search(spark, idx, "def", "or", k=50).collect()}
+    assert hits <= set(keep)

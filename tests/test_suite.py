@@ -31,6 +31,21 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
+def _value_hash(pdf: pd.DataFrame) -> str:
+    """Driver-faithful value hash: string repr of every cell, so an int64 910
+    vs a float64 910.0 (e.g. DuckDB SUM(BIGINT) -> HUGEINT -> float64) hashes
+    DIFFERENTLY even when numerically equal. This is the gate the driver runs."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for c in pdf.columns:
+        h.update(c.encode())
+        col = pdf[c]
+        for v in col.to_numpy():
+            h.update(repr(v).encode())
+    return h.hexdigest()
+
+
 ENTRY_NAMES = sorted(suite.ENTRIES)
 
 
@@ -43,6 +58,11 @@ def test_entry_matches_oracle(spark, duck, name):
     assert len(got) == len(exp), f"{name}: {len(got)} vs {len(exp)} rows"
     for c in got.columns:
         g, e = got[c].to_numpy(), exp[c].to_numpy()
+        # dtype-strict: an int/float kind mismatch is a hash mismatch at the
+        # driver even when values are numerically equal (the r01 failure mode).
+        assert g.dtype.kind == e.dtype.kind, (
+            f"{name}.{c}: dtype kind {g.dtype} (spark) vs {e.dtype} (oracle)"
+        )
         if np.issubdtype(g.dtype, np.floating) or np.issubdtype(e.dtype, np.floating):
             assert np.allclose(
                 g.astype(np.float64), e.astype(np.float64), rtol=0, atol=0, equal_nan=True
@@ -50,3 +70,4 @@ def test_entry_matches_oracle(spark, duck, name):
         else:
             mism = g != e
             assert not mism.any(), f"{name}.{c}: {g[mism][:5]} vs {e[mism][:5]}"
+    assert _value_hash(got) == _value_hash(exp), f"{name}: value-hash mismatch"

@@ -95,6 +95,29 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+def words_without_stopwords(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, term) — the tokenized stream filtered to clean
+    non-stopword words: text::get_words_without_stopwords
+    (reference text.cpp:334-353) with the reference EN+SV lists
+    (stopwords.cpp:35-290). Pure JVM predicates (isin + rlike), no Python."""
+    from alexandria_spark.functions.stopwords import keep_word
+
+    return doc_tokens_pos(docs).where(keep_word(F.col("term")))
+
+
+def stopword_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_content) — token count before/after the
+    reference stopword+clean-word filter."""
+    from alexandria_spark.functions.stopwords import keep_word
+
+    toks = doc_tokens_pos(docs)
+    return toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(keep_word(F.col("term")), 1).otherwise(0))
+        .cast("long").alias("n_content"),
+    )
+
+
 # ------------------------------------------------------------ suite entries
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,8 +190,41 @@ SELECT doc_id,
 FROM tok GROUP BY doc_id
 """
 
+def q_stopword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stopword_stats(documents(spark, sf_dir))
+
+
+def _SQL_KEEP():
+    from alexandria_spark.functions.stopwords import sql_keep_word
+
+    return sql_keep_word("term")
+
+
+SQL_STOPWORD_STATS = SQL_PRELUDE + f"""
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       CAST(sum(CASE WHEN {_SQL_KEEP()} THEN 1 ELSE 0 END) AS BIGINT) AS n_content
+FROM tok GROUP BY doc_id
+"""
+
+
+def q_content_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = words_without_stopwords(documents(spark, sf_dir))
+    return (
+        w.groupBy("term").agg(F.count("*").cast("long").alias("total_tf"))
+        .orderBy(F.desc("total_tf"), F.asc("term")).limit(50)
+    )
+
+
+SQL_CONTENT_TOP_TERMS = SQL_PRELUDE + f"""
+SELECT term, count(*)::BIGINT AS total_tf
+FROM tok WHERE {_SQL_KEEP()}
+GROUP BY term ORDER BY total_tf DESC, term ASC LIMIT 50
+"""
+
 ENTRIES = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
+    "stopword_stats": (q_stopword_stats, SQL_STOPWORD_STATS),
+    "content_top_terms": (q_content_top_terms, SQL_CONTENT_TOP_TERMS),
     "quality_score": (q_quality, SQL_QUALITY),
     "token_counts_basic": (q_token_counts, SQL_TOKEN_COUNTS),
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),

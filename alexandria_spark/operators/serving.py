@@ -93,6 +93,73 @@ def serve_topk(docs: DataFrame, terms: list[str], k: int = 10,
     )
 
 
+def truncate_candidates(results: DataFrame, cfg, id_col: str = "doc_id") -> DataFrame:
+    """Pre-dedup candidate truncation to cfg.pre_result_limit by
+    (score desc, doc asc) — the reference's nth_element resize
+    (index_manager.cpp:284-288, config::pre_result_limit=200k,
+    config.cpp:82). Catalyst executes this as TakeOrderedAndProject
+    (per-partition heaps + driver merge), so no full sort materializes."""
+    return (
+        results.orderBy(F.desc("score"), F.asc(id_col))
+        .limit(int(cfg.pre_result_limit))
+    )
+
+
+def deduplicate_results(results: DataFrame, cfg,
+                        domain_col: str = "source",
+                        id_col: str = "doc_id") -> DataFrame:
+    """The reference's deduplicate_search_results (index_manager.cpp:296-325):
+    walking the score-ranked candidates, a result is kept while its domain
+    has produced < cfg.dedup_group_count results; if fewer than
+    cfg.result_limit survive, over-cap rows backfill in score order.
+
+    Equivalent DataFrame form: the walk-order count per domain IS the
+    per-domain row_number over (score desc, doc asc), so in_cap =
+    row_number <= dedup_group_count; group ranks + one scalar count decide
+    the backfill. Inputs are bounded by pre_result_limit, so the unkeyed
+    windows/aggregate stay small by construction."""
+    cap, limit = int(cfg.dedup_group_count), int(cfg.result_limit)
+    w_dom = Window.partitionBy(domain_col).orderBy(F.desc("score"), F.asc(id_col))
+    r = results.withColumn("in_cap", F.row_number().over(w_dom) <= cap)
+    w_grp = Window.partitionBy("in_cap").orderBy(F.desc("score"), F.asc(id_col))
+    r = r.withColumn("gn", F.row_number().over(w_grp))
+    n_dedup = r.agg(
+        F.sum(F.when(F.col("in_cap"), 1).otherwise(0)).cast("long").alias("nd")
+    )
+    r = r.crossJoin(F.broadcast(n_dedup))
+    keep = (F.col("in_cap") & (F.col("gn") <= limit)) | (
+        ~F.col("in_cap") & (F.col("gn") <= F.greatest(F.lit(limit) - F.col("nd"), F.lit(0)))
+    )
+    return (
+        r.where(keep).drop("in_cap", "gn", "nd")
+        .orderBy(F.desc("score"), F.asc(id_col))
+    )
+
+
+def serve_pipeline(docs: DataFrame, terms: list[str], cfg,
+                   snippet_len: int = 140) -> DataFrame:
+    """Config-driven serve path (index_manager.cpp:279-294): conjunctive
+    BM25 → truncate to pre_result_limit → per-domain dedup capped at
+    dedup_group_count with score-order backfill → result_limit → decorate."""
+    base = (
+        bm25_postings(docs).where(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("score").cast("double")), 4).alias("score"),
+             F.count("*").alias("nt"))
+        .where(F.col("nt") == len(set(terms)))
+        .drop("nt")
+    )
+    cand = truncate_candidates(base, cfg)
+    with_dom = cand.join(
+        docs.select("doc_id", "source",
+                    F.substring("text", 1, snippet_len).alias("snippet")),
+        "doc_id",
+    )
+    return deduplicate_results(with_dom, cfg).select(
+        "source", "doc_id", "score", "snippet"
+    )
+
+
 # ------------------------------------------------------------ suite entries
 
 def q_count_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,8 +217,35 @@ SELECT source, doc_id, score, snippet FROM w WHERE rn <= 2
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
+def q_serve_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from alexandria_spark.config import EngineConfig
+
+    # limits sized so all three knobs bite at sf0.001 (the single term
+    # 'merge' matches ~400 docs there)
+    cfg = EngineConfig(pre_result_limit=100, dedup_group_count=2, result_limit=30)
+    return serve_pipeline(documents(spark, sf_dir), [BOOST_TERM], cfg)
+
+
+SQL_SERVE_PIPELINE = SQL_PRELUDE + f"""
+, base AS (
+  SELECT doc_id, round(sum(CAST(score AS DOUBLE)), 4) AS score
+  FROM scored WHERE term = '{BOOST_TERM}' GROUP BY doc_id
+),
+cand AS (SELECT * FROM base ORDER BY score DESC, doc_id ASC LIMIT 100),
+j AS (SELECT d.source, c.doc_id, c.score, substr(d.text, 1, 140) AS snippet
+      FROM cand c JOIN documents d USING (doc_id)),
+r AS (SELECT *, (row_number() OVER (PARTITION BY source
+                 ORDER BY score DESC, doc_id ASC)) <= 2 AS in_cap FROM j),
+g AS (SELECT *, row_number() OVER (PARTITION BY in_cap
+                 ORDER BY score DESC, doc_id ASC) AS gn FROM r),
+nd AS (SELECT count(*) AS nd FROM r WHERE in_cap)
+SELECT source, doc_id, score, snippet FROM g CROSS JOIN nd
+WHERE (in_cap AND gn <= 30) OR ((NOT in_cap) AND gn <= greatest(30 - nd, 0))
+"""
+
 ENTRIES = {
     "count_matches": (q_count_matches, SQL_COUNT_MATCHES),
+    "serve_pipeline_limits": (q_serve_pipeline, SQL_SERVE_PIPELINE),
     "distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
     "bm25_source_boost": (q_boosted, SQL_BOOSTED),
     "serve_topk_dedup_decorated": (q_serve_topk, SQL_SERVE_TOPK),

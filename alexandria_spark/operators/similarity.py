@@ -212,7 +212,10 @@ SQL_LSH_BUCKETS = "SELECT vec_id, (" + " + ".join(
 ) + ")::BIGINT AS bucket FROM embeddings"
 
 def q_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), 0.9)
+    # threshold 0.3: same-label cosines in the synthetic embeddings top out
+    # ~0.45, so 0.3 yields a real (non-empty) pair set at sf0.001 AND sf0.01
+    # — an entry that can actually fail. (0.9 returned 0 rows = vacuous.)
+    return embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), 0.3)
 
 
 SQL_NEAR_DUPS = f"""
@@ -224,7 +227,7 @@ FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round({_sql_dot('a.embedding', 'b.embedding')}
             / (sqrt({_sql_dot('a.embedding', 'a.embedding')})
-               * sqrt({_sql_dot('b.embedding', 'b.embedding')})), 4) >= 0.9e0
+               * sqrt({_sql_dot('b.embedding', 'b.embedding')})), 4) >= 0.3e0
 """
 
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -20,7 +20,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
 from alexandria_spark.config import DEFAULT, EngineConfig
-from alexandria_spark.operators import analysis, dedup, graph, multimodal, serving, similarity
+from alexandria_spark.operators import (
+    analysis,
+    dedup,
+    graph,
+    links,
+    multimodal,
+    serving,
+    similarity,
+)
 from alexandria_spark.operators.text import (
     bm25_postings,
     bm25_query,
@@ -265,6 +273,68 @@ SQL_CONTENT_SHA256 = "SELECT doc_id, sha256(text) AS content_sha256 FROM documen
 
 # ------------------------------------------------------------ registry
 
+# ---------------------------------------------------- persisted-index path
+#
+# These entries exercise the flagship artifact end-to-end: build_index →
+# delta/varint block shards on disk → pruned distributed search
+# (plans/build.py + plans/query.py), the Spark-first analogue of the
+# reference's index_manager::find (index_manager.cpp:249-294). The oracle is
+# the same f64 BM25 restatement the bm25_* entries use: per-(term,doc)
+# scores quantized to REAL (the engine stores f32), summed as DOUBLE.
+
+_IDX_CACHE: dict[str, object] = {}
+_IDX_CFG = EngineConfig(num_shards=16, shuffle_partitions=16, build_waves=2,
+                        block_size=1024)
+
+
+def _suite_index(spark, sf_dir):
+    """Build (once per process per sf_dir) a real block index over the
+    documents table in a fresh temp dir."""
+    if sf_dir not in _IDX_CACHE:
+        import tempfile
+
+        from alexandria_spark.plans.build import build_index
+
+        path = tempfile.mkdtemp(prefix="ax_suite_idx_") + "/idx"
+        _IDX_CACHE[sf_dir] = build_index(
+            spark, _docs(spark, sf_dir), path, _IDX_CFG, text_col="text"
+        )
+    return _IDX_CACHE[sf_dir]
+
+
+def _index_search(spark, sf_dir, terms, mode, k):
+    from alexandria_spark.plans.query import search
+
+    idx = _suite_index(spark, sf_dir)
+    # fetch 2k raw-score rows, then rank by ROUNDED score + doc_id so the
+    # boundary rows match the oracle's rounded ordering
+    r = search(spark, idx, " ".join(terms), mode=mode, k=2 * k, cfg=_IDX_CFG)
+    r = r.select("doc_id", _r4(F.col("score")).alias("score"))
+    return r.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def q_index_search_topk(spark, sf_dir):
+    return _index_search(spark, sf_dir, Q_AND, "and", 20)
+
+
+SQL_INDEX_SEARCH_TOPK = SQL_PRELUDE + (
+    f"SELECT doc_id, round(sum(CAST(score AS DOUBLE)), 4) AS score "
+    f"FROM scored WHERE term IN ('{Q_AND[0]}','{Q_AND[1]}') GROUP BY doc_id "
+    f"HAVING count(*) = 2 ORDER BY score DESC, doc_id ASC LIMIT 20"
+)
+
+
+def q_index_search_or_topk(spark, sf_dir):
+    return _index_search(spark, sf_dir, Q_TOPK, "or", 20)
+
+
+SQL_INDEX_SEARCH_OR_TOPK = SQL_PRELUDE + (
+    f"SELECT doc_id, round(sum(CAST(score AS DOUBLE)), 4) AS score "
+    f"FROM scored WHERE term IN ('{Q_TOPK[0]}','{Q_TOPK[1]}') GROUP BY doc_id "
+    f"ORDER BY score DESC, doc_id ASC LIMIT 20"
+)
+
+
 ENTRIES: dict[str, tuple] = {
     "content_sha256": (q_content_sha256, SQL_CONTENT_SHA256),
     "doc_lengths": (q_doc_lengths, SQL_DOC_LENGTHS),
@@ -280,6 +350,8 @@ ENTRIES: dict[str, tuple] = {
     "phrase_bigram": (q_phrase_bigram, SQL_PHRASE_BIGRAM),
     "group_by_source": (q_group_by_source, SQL_GROUP_BY_SOURCE),
     "top_per_source": (q_top_per_source, SQL_TOP_PER_SOURCE),
+    "index_search_topk": (q_index_search_topk, SQL_INDEX_SEARCH_TOPK),
+    "index_search_or_topk": (q_index_search_or_topk, SQL_INDEX_SEARCH_OR_TOPK),
     # training-data pipeline operators (operators/{dedup,analysis,similarity,multimodal})
     **dedup.ENTRIES,
     **analysis.ENTRIES,
@@ -287,6 +359,7 @@ ENTRIES: dict[str, tuple] = {
     **multimodal.ENTRIES,
     **serving.ENTRIES,
     **graph.ENTRIES,
+    **links.ENTRIES,
 }
 
 

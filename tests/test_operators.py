@@ -128,3 +128,32 @@ def test_ivf_ann(spark):
     # every hit shares the query's cell, and recall is sane
     assert all(assign[v] == assign[0] for v in approx)
     assert len(set(exact) & set(approx)) / 10 >= 0.2
+
+
+def test_deduplicate_results_cap_and_backfill(spark):
+    """Reference deduplicate_search_results (index_manager.cpp:296-325):
+    per-domain cap at dedup_group_count, then over-cap rows backfill in
+    score order when fewer than result_limit survive."""
+    from alexandria_spark.config import EngineConfig
+    from alexandria_spark.operators.serving import (
+        deduplicate_results,
+        truncate_candidates,
+    )
+
+    rows = [("a", i, 100.0 - i) for i in range(10)] + [("b", 100, 50.0)]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "score"])
+    cfg = EngineConfig(dedup_group_count=2, result_limit=5, pre_result_limit=8)
+
+    out = deduplicate_results(df, cfg).collect()
+    # in-cap: a:0, a:1 (top-2 of domain a), b:100 → 3 < limit 5
+    # backfill: 2 best over-cap rows (a:2, a:3)
+    assert [r.doc_id for r in out] == [0, 1, 2, 3, 100]
+
+    # cap binds when enough survive: limit=3 → only in-cap rows, top-3
+    cfg3 = EngineConfig(dedup_group_count=2, result_limit=3)
+    out3 = deduplicate_results(df, cfg3).collect()
+    assert [r.doc_id for r in out3] == [0, 1, 100]
+
+    # pre_result_limit truncates candidates by (score desc, doc asc)
+    t = truncate_candidates(df, cfg).collect()
+    assert len(t) == 8 and [r.doc_id for r in t] == list(range(8))

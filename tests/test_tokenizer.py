@@ -134,3 +134,23 @@ def test_snippets_goldens():
     )
     assert len(snippets(zlib_text)) == 3
     assert all(len(s) <= 300 for s in snippets(zlib_text))
+
+
+def test_words_without_stopwords_semantics(spark):
+    """get_words_without_stopwords (reference text.cpp:334-353): keeps only
+    clean words ([a-z0-9åäö]+, so 'c++' is dropped here unlike
+    get_full_text_words) that are in neither the EN nor SV stopword list."""
+    from alexandria_spark.operators.analysis import words_without_stopwords
+
+    docs = spark.createDataFrame(
+        [(1, "The quick c++ brown fox and och över the 42 zebra")],
+        ["doc_id", "text"],
+    )
+    got = [r.term for r in words_without_stopwords(docs).orderBy("pos").collect()]
+    assert got == ["quick", "brown", "fox", "42", "zebra"]
+    assert "the" not in got and "and" not in got and "och" not in got
+    assert "c++" not in got          # not a clean word
+    assert "över" not in got         # swedish stopword
+    assert "42" in got               # multi-digit numbers are not stopwords
+    assert "4" not in got
+    assert got[:3] == ["quick", "brown", "fox"]

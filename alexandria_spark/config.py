@@ -48,6 +48,9 @@ class EngineConfig:
 
     # --- misc ---
     n_grams: int = 1                  # reference config.cpp:86 default
+    expand_blend: bool = False        # index expanded blend-char sub-words
+                                      # (get_expanded_full_text_words,
+                                      #  reference text.cpp:253-285)
 
     def salts_for_df(self, df: int) -> int:
         """Number of salt buckets for a term with document frequency df."""

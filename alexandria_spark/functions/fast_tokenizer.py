@@ -178,6 +178,86 @@ def _murmur_chunk(buf, starts, lens, seed):
     return h
 
 
+_IS_BLEND = np.zeros(256, dtype=bool)
+for _c in b".-:":
+    _IS_BLEND[_c] = True
+
+
+def expand_blend_slices(
+    buf: np.ndarray, doc_idx: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized blend-char expansion (reference
+    get_expanded_full_text_words, text.cpp:253-285): every kept token that
+    contains '.', '-' or ':' additionally emits its split sub-words — each
+    both-end trimmed, and kept even when empty (the reference pushes the
+    trimmed sub-word unconditionally) — immediately after the parent token.
+    Returns new (doc_idx, starts, lens); slices still index into ``buf``.
+    """
+    T = len(starts)
+    if T == 0:
+        return doc_idx, starts, lens
+    n = len(buf)
+    ends = starts + lens
+    bp = np.nonzero(_IS_BLEND[buf])[0]  # every blend byte position in buf
+    lo = np.searchsorted(bp, starts)
+    hi = np.searchsorted(bp, ends)
+    k = (hi - lo).astype(np.int64)      # blend chars inside each token
+    has = k > 0
+    if not has.any():
+        return doc_idx, starts, lens
+    kh = k[has]
+    n_sub = kh + 1                      # sub-words per expanding token
+    total_sub = int(n_sub.sum())
+    # flattened in-token blend positions, token-major order
+    off = np.zeros(len(kh), np.int64)
+    np.cumsum(kh[:-1], out=off[1:])
+    flat = bp[np.repeat(lo[has], kh)
+              + (np.arange(int(kh.sum()), dtype=np.int64) - np.repeat(off, kh))]
+    # sub-slice [s, e) boundaries: first starts at the token start, the rest
+    # after each blend char; all but the last end at a blend char
+    sub_off = np.zeros(len(kh), np.int64)
+    np.cumsum(n_sub[:-1], out=sub_off[1:])
+    s_sub = np.empty(total_sub, np.int64)
+    e_sub = np.empty(total_sub, np.int64)
+    mask_first = np.zeros(total_sub, bool)
+    mask_first[sub_off] = True
+    mask_last = np.zeros(total_sub, bool)
+    mask_last[sub_off + kh] = True
+    s_sub[mask_first] = starts[has]
+    s_sub[~mask_first] = flat + 1
+    e_sub[mask_last] = ends[has]
+    e_sub[~mask_last] = flat
+    # trim both ends (same sweeps as tokenize_slices); empties survive
+    while True:
+        m = (s_sub < e_sub) & _IS_TRIM[buf[np.minimum(s_sub, n - 1)]]
+        if not m.any():
+            break
+        s_sub[m] += 1
+    while True:
+        m = (s_sub < e_sub) & _IS_TRIM[buf[np.maximum(e_sub - 1, 0)]]
+        if not m.any():
+            break
+        e_sub[m] -= 1
+    # interleave: parent token, then its sub-words
+    out_n = np.where(has, k + 2, 1).astype(np.int64)
+    out_off = np.zeros(T, np.int64)
+    np.cumsum(out_n[:-1], out=out_off[1:])
+    total = int(out_n.sum())
+    d_out = np.empty(total, np.int64)
+    s_out = np.empty(total, np.int64)
+    l_out = np.empty(total, np.int64)
+    d_out[out_off] = doc_idx
+    s_out[out_off] = starts
+    l_out[out_off] = lens
+    sub_pos = np.repeat(out_off[has] + 1, n_sub) + (
+        np.arange(total_sub, dtype=np.int64) - np.repeat(sub_off, n_sub)
+    )
+    d_out[sub_pos] = np.repeat(doc_idx[has], n_sub)
+    s_out[sub_pos] = s_sub
+    l_out[sub_pos] = e_sub - s_sub
+    return d_out, s_out, l_out
+
+
 def ngram_slices(
     buf: np.ndarray, doc_idx: np.ndarray, starts: np.ndarray, lens: np.ndarray, j: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -216,7 +296,8 @@ def ngram_slices(
 
 
 def token_counts_fast(
-    text: pd.Series, keep_term: bool = False, n_grams: int = 1
+    text: pd.Series, keep_term: bool = False, n_grams: int = 1,
+    expand_blend: bool = False,
 ) -> pd.DataFrame:
     """Drop-in fast variant of tokenizer.token_counts.
 
@@ -227,8 +308,14 @@ def token_counts_fast(
     With ``n_grams`` > 1, every 2..n-gram (space-joined, murmur-hashed like
     the reference's phrase keys) is counted as an additional term;
     ``doc_len`` stays the unigram token count.
+
+    With ``expand_blend``, the token stream is the *expanded* one
+    (get_expanded_full_text_words, text.cpp:253-285): blend-char sub-words
+    follow their parent token, and ``doc_len`` counts the expanded stream.
     """
     buf, doc_idx, starts, lens = tokenize_slices(text)
+    if expand_blend and len(starts):
+        doc_idx, starts, lens = expand_blend_slices(buf, doc_idx, starts, lens)
     if len(starts) == 0:
         cols = {
             "row": np.empty(0, np.int64),

@@ -63,6 +63,36 @@ class BloomFilter:
     def union(self, other: "BloomFilter") -> "BloomFilter":
         return BloomFilter(self.n_bits, np.bitwise_or(self.bits, other.bits))
 
+    def save(self, path: str) -> None:
+        """Persist the bitmap (reference bloom_filter::write_file,
+        src/algorithm/bloom_filter.cpp:112-120): a small header with the bit
+        count, then the raw bytes. Atomic via tmp+rename so a crashed save
+        never leaves a torn filter."""
+        import os
+        import struct
+
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(b"AXBF0001")
+            fh.write(struct.pack("<Q", self.n_bits))
+            fh.write(self.bits.tobytes())
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "BloomFilter":
+        """Reference bloom_filter::read_file (bloom_filter.cpp:103-110)."""
+        import struct
+
+        with open(path, "rb") as fh:
+            magic = fh.read(8)
+            if magic != b"AXBF0001":
+                raise ValueError(f"not a bloom filter file: {path!r}")
+            (n_bits,) = struct.unpack("<Q", fh.read(8))
+            bits = np.frombuffer(fh.read(), dtype=np.uint8).copy()
+        if len(bits) != n_bits // 8:
+            raise ValueError(f"truncated bloom filter file: {path!r}")
+        return cls(int(n_bits), bits)
+
 
 def build_doc_filter(indexed: DataFrame, id_col: str = "doc_id",
                      n_bits: int = 1 << 23) -> BloomFilter:

@@ -62,6 +62,10 @@ from alexandria_spark.plans.checkpoint import CheckpointLog
 
 MIN_I64 = -(1 << 63)
 
+# hot-term sets up to this size ride the plan as create_map literals; larger
+# sets switch to a broadcast join + SparkContext broadcast (see blockify)
+_HOT_LITERAL_MAX = 1024
+
 
 # ---------------------------------------------------------------- tokenize
 
@@ -94,10 +98,12 @@ def tokenize_docs(
     schema = term_doc_schema(keep_term)
 
     n_grams = cfg.n_grams
+    expand_blend = cfg.expand_blend
 
     def fn(batches):
         for pdf in batches:
-            tc = token_counts_fast(pdf[text_col], keep_term=keep_term, n_grams=n_grams)
+            tc = token_counts_fast(pdf[text_col], keep_term=keep_term,
+                                   n_grams=n_grams, expand_blend=expand_blend)
             ids = pdf[id_col].to_numpy(np.int64)
             tid = tc["term_id"].to_numpy(np.int64)
             out = {
@@ -243,8 +249,25 @@ def blockify(
     Scoring runs vectorized in numpy inside the block builder (float64 math,
     float32 store — reference sharded_builder.h:175-201 semantics).
     """
-    # salt expression: nsalts(term) for the few hot terms via a map literal
-    if hot_df:
+    # salt expression: nsalts(term) for the few hot terms. Up to
+    # _HOT_LITERAL_MAX terms ride as a create_map literal (zero extra plan
+    # nodes); past that — a Zipf vocabulary at 100 TB puts 10^4–10^5 terms
+    # over the posting cap, and 10^5 literals would choke Catalyst — the
+    # lookup becomes a broadcast hash join against a tiny hot-terms table,
+    # and the df dict ships to _score as a SparkContext broadcast instead of
+    # a per-task closure constant.
+    spark = term_doc.sparkSession
+    use_literal = bool(hot_df) and len(hot_df) <= _HOT_LITERAL_MAX
+    slim_cols = [
+        F.col("term_id"),
+        F.col("doc_id"),
+        F.col("tf").cast("int").alias("tf"),
+        F.col("doc_len").cast("int").alias("doc_len"),
+    ]
+    # slim shuffle: 28 bytes/row. The shard column is recomputed numpy-side
+    # after the shuffle (u64 semantics); the partitioner only needs any
+    # deterministic per-term expression, so pmod(term_id) serves as the key.
+    if use_literal:
         entries = []
         for tid, df in hot_df.items():
             entries += [F.lit(int(tid)), F.lit(int(cfg.salts_for_df(df)))]
@@ -252,19 +275,27 @@ def blockify(
             F.element_at(F.create_map(*entries), F.col("term_id")), F.lit(1)
         )
         salt = F.pmod(F.xxhash64(F.col("doc_id")), nsalts).cast("int")
+        slim = term_doc.select(*slim_cols, salt.alias("salt"))
+    elif hot_df:
+        hot_tbl = spark.createDataFrame(
+            [(int(t), int(cfg.salts_for_df(d))) for t, d in hot_df.items()],
+            ["term_id", "nsalts"],
+        )
+        salt = F.pmod(
+            F.xxhash64(F.col("doc_id")), F.coalesce(F.col("nsalts"), F.lit(1))
+        ).cast("int")
+        slim = term_doc.join(F.broadcast(hot_tbl), "term_id", "left").select(
+            *slim_cols, salt.alias("salt")
+        )
     else:
-        salt = F.lit(0).cast("int")
+        slim = term_doc.select(*slim_cols, F.lit(0).cast("int").alias("salt"))
 
-    # slim shuffle: 28 bytes/row. The shard column is recomputed numpy-side
-    # after the shuffle (u64 semantics); the partitioner only needs any
-    # deterministic per-term expression, so pmod(term_id) serves as the key.
-    slim = term_doc.select(
-        "term_id",
-        "doc_id",
-        F.col("tf").cast("int").alias("tf"),
-        F.col("doc_len").cast("int").alias("doc_len"),
-        salt.alias("salt"),
-    )
+    if hot_df and not use_literal:
+        bc_hot = spark.sparkContext.broadcast(hot_df)
+        hot_lookup = lambda: bc_hot.value  # noqa: E731 — executor-side deref
+    else:
+        _hot_local = hot_df
+        hot_lookup = lambda: _hot_local  # noqa: E731
     parts = slim.repartition(
         cfg.shuffle_partitions, F.pmod(F.col("term_id"), F.lit(cfg.num_shards)), F.col("salt")
     ).sortWithinPartitions(
@@ -288,9 +319,10 @@ def blockify(
         gstart = np.nonzero(change)[0]
         gsize = np.diff(np.append(gstart, len(tid)))
         df = np.repeat(gsize, gsize).astype(np.float64)
-        if hot_df:
+        hd = hot_lookup()
+        if hd:
             heads = tid[gstart]
-            hot_vals = np.array([hot_df.get(int(t), 0) for t in heads], dtype=np.float64)
+            hot_vals = np.array([hd.get(int(t), 0) for t in heads], dtype=np.float64)
             hot_mask = np.repeat(hot_vals > 0, gsize)
             df[hot_mask] = np.repeat(hot_vals, gsize)[hot_mask]
         tf = pdf["tf"].to_numpy(np.float64)

@@ -109,7 +109,6 @@ def build_docpart_index(
         def _finish(pdf):
             # build_blocks groups by (term_id, salt): salt is constant per
             # bucket run, so blocks are per (bucket, term) — what WAND wants
-            pdf = pdf.sort_values("salt", kind="stable")  # bucket-major
             out = build_blocks(
                 pdf.sort_values(["salt", "term_id"], kind="stable")
                    .reset_index(drop=True)[cols],

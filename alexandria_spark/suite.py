@@ -273,6 +273,27 @@ SQL_CONTENT_SHA256 = "SELECT doc_id, sha256(text) AS content_sha256 FROM documen
 
 # ------------------------------------------------------------ registry
 
+def q_expanded_term_counts(spark, sf_dir):
+    """Blend-char expanded tokenization (get_expanded_full_text_words,
+    reference text.cpp:253-285) through the vectorized build tokenizer."""
+    cfg = EngineConfig(expand_blend=True)
+    return doc_term_counts(_docs(spark, sf_dir), cfg).select("doc_id", "term", "tf")
+
+
+from alexandria_spark.operators.sql_common import TRIM_DUCK  # noqa: E402
+
+SQL_EXPANDED_TERM_COUNTS = SQL_PRELUDE + f"""
+, expx AS (
+  SELECT doc_id, term FROM tok
+  UNION ALL
+  SELECT doc_id, unnest(list_transform(regexp_split_to_array(term, '[.:-]'),
+                                       w -> trim(w, {TRIM_DUCK}))) AS term
+  FROM tok WHERE len(regexp_split_to_array(term, '[.:-]')) > 1
+)
+SELECT doc_id, term, count(*)::BIGINT AS tf FROM expx GROUP BY doc_id, term
+"""
+
+
 # ---------------------------------------------------- persisted-index path
 #
 # These entries exercise the flagship artifact end-to-end: build_index →
@@ -339,6 +360,7 @@ ENTRIES: dict[str, tuple] = {
     "content_sha256": (q_content_sha256, SQL_CONTENT_SHA256),
     "doc_lengths": (q_doc_lengths, SQL_DOC_LENGTHS),
     "term_counts": (q_term_counts, SQL_TERM_COUNTS),
+    "expanded_term_counts": (q_expanded_term_counts, SQL_EXPANDED_TERM_COUNTS),
     "term_doc_freq": (q_term_doc_freq, SQL_TERM_DOC_FREQ),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "top_terms": (q_top_terms, SQL_TOP_TERMS),

@@ -111,3 +111,26 @@ def test_max_score_is_block_max():
     blocks = build_blocks(pdf, block_size=3)
     assert blocks["max_score"].tolist() == [np.float32(9.0), np.float32(7.0)]
     assert blocks["block_id"].tolist() == [0, 1]
+
+
+def test_large_hot_set_uses_broadcast_join(spark, tmp_path, monkeypatch):
+    """With more hot terms than _HOT_LITERAL_MAX the salt lookup must become
+    a broadcast join (bounded plan), and postings must be identical to the
+    literal-map path (same salt formula either way)."""
+    import alexandria_spark.plans.build as build_mod
+    from alexandria_spark.config import EngineConfig
+    from alexandria_spark.plans.build import build_index, with_doc_ids
+    from alexandria_spark.sources.tables import synth_corpus
+
+    cfg = EngineConfig(num_shards=8, block_size=16, shuffle_partitions=8,
+                       build_waves=1, max_postings_per_salt=2)  # most terms hot
+    docs = with_doc_ids(synth_corpus(spark, 60, seed=77))
+
+    lit = build_index(spark, docs, str(tmp_path / "lit"), cfg, text_col="content")
+
+    monkeypatch.setattr(build_mod, "_HOT_LITERAL_MAX", 0)  # force broadcast path
+    bc = build_index(spark, docs, str(tmp_path / "bc"), cfg, text_col="content")
+
+    a = sorted(map(tuple, lit.postings(spark).drop("wave").collect()))
+    b = sorted(map(tuple, bc.postings(spark).drop("wave").collect()))
+    assert a == b

@@ -85,3 +85,36 @@ def test_counts_on_synth_corpus():
         map(tuple, df[["row", "term", "term_id", "tf", "doc_len"]].to_numpy())
     )
     assert key(fast) == key(slow)
+
+
+def _expanded_from_slices(docs):
+    from alexandria_spark.functions.fast_tokenizer import expand_blend_slices
+
+    buf, doc_idx, starts, lens = tokenize_slices(pd.Series(docs))
+    doc_idx, starts, lens = expand_blend_slices(buf, doc_idx, starts, lens)
+    bmem = buf.tobytes()
+    return doc_idx.tolist(), [
+        bmem[s : s + l].decode("utf-8") for s, l in zip(starts, lens)
+    ]
+
+
+def test_expanded_golden():
+    # reference tests/test_text.cpp get_tokens3 golden
+    rows, toks = _expanded_from_slices(["Test. Ing! the    test   +func-tion+"])
+    assert toks == ["test", "ing", "the", "test", "+func-tion+", "+func", "tion+"]
+    assert rows == [0] * 7
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(TEXT_ALPHABET, max_size=60), max_size=8))
+def test_expanded_matches_scalar(docs):
+    from alexandria_spark.functions.tokenizer import expanded_words
+
+    rows, toks = _expanded_from_slices(docs)
+    exp_rows, exp_toks = [], []
+    for i, d in enumerate(docs):
+        for w in expanded_words(d):
+            exp_rows.append(i)
+            exp_toks.append(w)
+    assert toks == exp_toks, (toks, exp_toks)
+    assert rows == exp_rows

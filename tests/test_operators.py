@@ -157,3 +157,45 @@ def test_deduplicate_results_cap_and_backfill(spark):
     # pre_result_limit truncates candidates by (score desc, doc asc)
     t = truncate_candidates(df, cfg).collect()
     assert len(t) == 8 and [r.doc_id for r in t] == list(range(8))
+
+
+def test_hyper_ball_matches_exact_harmonic(spark):
+    """HyperBall (HLL counters, hyper_ball.h:38-105) must agree with the
+    exact BFS harmonic centrality on a small graph — at 50 vertices the
+    Datasketches sketch is still in sparse mode, so estimates are exact."""
+    import numpy as np
+
+    from alexandria_spark.operators.graph import harmonic_centrality, hyper_ball
+
+    # deterministic 50-vertex graph
+    edges = spark.range(200).select(
+        ((F.col("id") * 17 + 3) % 50).alias("src"),
+        ((F.col("id") * 31 + 7) % 50).alias("dst"),
+    ).where(F.col("src") != F.col("dst")).distinct()
+    exact = {r.vertex: r.harmonic
+             for r in harmonic_centrality(edges, depth=50).collect()}
+    approx = {r.vertex: r.harmonic for r in hyper_ball(edges).collect()}
+    assert set(approx) == set(exact)
+    for v, h in exact.items():
+        assert np.isclose(approx[v], h, rtol=0.02), (v, approx[v], h)
+
+
+def test_bloom_filter_save_load_roundtrip(tmp_path, spark, docs):
+    """Persisted filter (bloom_filter.cpp:103-120 read/write analogue) must
+    answer identically after a save/load round trip."""
+    from alexandria_spark.operators.membership import BloomFilter, build_doc_filter
+
+    indexed = docs.where(F.col("doc_id") % 3 == 0)
+    bloom = build_doc_filter(indexed, n_bits=1 << 16)
+    p = str(tmp_path / "docs.bloom")
+    bloom.save(p)
+    loaded = BloomFilter.load(p)
+    assert loaded.n_bits == bloom.n_bits
+    ids = np.arange(0, 500, dtype=np.int64)
+    assert (loaded.might_contain(ids) == bloom.might_contain(ids)).all()
+
+    # corrupt / wrong files are rejected
+    bad = tmp_path / "bad.bloom"
+    bad.write_bytes(b"NOTAFILT" + b"\0" * 16)
+    with pytest.raises(ValueError):
+        BloomFilter.load(str(bad))

@@ -518,20 +518,42 @@ def build_index(
         )
         if cfg.build_waves > 1:
             # multiple consumers -> cache; single wave streams straight into
-            # the shuffle (persist would only add a memory round trip)
+            # the shuffle (persisting 28-byte posting rows costs more memory
+            # traffic than the light stats re-tokenize it would save —
+            # measured on this host's bandwidth-bound 4-core runs)
             term_doc = term_doc.persist()
 
     # ---- stage 2: corpus stats ------------------------------------------
-    # One light tokenizer pass over the docs emits per-doc lengths + per-batch
-    # partial dfs (kilobyte-scale shuffle) — never the full posting stream.
+    # Materialized mode: stats derive from the stage-1 term_doc parquet (a
+    # columnar re-read, far cheaper than a second tokenize); both groupBys
+    # carry map-side partial aggregation, so the shuffles are doc-count- and
+    # vocab-sized — never the full posting stream. Zero-token docs have no
+    # term_doc rows, so they are excluded from n_docs/avg_dl exactly like
+    # the oracle's dl CTE. Throughput mode has no materialized term_doc, so
+    # it runs the light stats tokenizer pass instead (caching term_doc just
+    # to avoid it measured slower on a bandwidth-bound host).
     dl_path = os.path.join(index_path, "doc_lengths")
     ts_path = os.path.join(index_path, "term_stats")
     meta_path = os.path.join(index_path, "meta.json")
     if not log.is_done("stage2_stats", fp):
         t0 = time.time()
-        stats_df = corpus_stats_pass(docs, cfg, id_col, text_col)
-        # pre-aggregate the partial dfs so the driver fetch is vocab-sized
-        agg = stats_df.groupBy("kind", "key").agg(F.sum("val").alias("val"))
+        if materialize_stage1:
+            agg = (
+                term_doc.groupBy("doc_id")
+                .agg(F.first("doc_len").alias("val"))
+                .select(F.lit(0).alias("kind"), F.col("doc_id").alias("key"),
+                        F.col("val").cast("long").alias("val"))
+                .unionByName(
+                    term_doc.groupBy("term_id")
+                    .agg(F.count("*").alias("val"))
+                    .select(F.lit(1).alias("kind"), F.col("term_id").alias("key"),
+                            F.col("val").cast("long").alias("val"))
+                )
+            )
+        else:
+            stats_src = corpus_stats_pass(docs, cfg, id_col, text_col)
+            # pre-aggregate the per-batch partial dfs to vocab size
+            agg = stats_src.groupBy("kind", "key").agg(F.sum("val").alias("val"))
         # one job: fetch the (tiny) stats to the driver; all derived tables
         # are then local pyarrow writes — no further Spark jobs. Falls back
         # to distributed writes past the size gate (huge corpora).

@@ -36,6 +36,7 @@ from alexandria_spark.operators.text import (
     doc_tokens_pos,
 )
 from alexandria_spark.sources.tables import documents, load_table
+from alexandria_spark.streaming import windows as _stream_windows
 
 CFG = DEFAULT
 
@@ -382,6 +383,7 @@ ENTRIES: dict[str, tuple] = {
     **serving.ENTRIES,
     **graph.ENTRIES,
     **links.ENTRIES,
+    **_stream_windows.ENTRIES,
 }
 
 

@@ -98,15 +98,65 @@ def ann_lsh_topk(vectors: DataFrame, query_vec_id: int = 0, k: int = 10) -> Data
 N_IVF_CENTROIDS = 8
 
 
-def ivf_assign(vectors: DataFrame, n_centroids: int = N_IVF_CENTROIDS) -> DataFrame:
-    """(vec_id, centroid_id) — IVF coarse quantization: assign each vector to
-    its max-cosine centroid (deterministic seed centroids = the first K
-    vectors by id; a k-means refinement would slot in identically). At scale
-    the assignment is a broadcast join + argmax, and ANN probes only the
-    query's cell(s) instead of the full collection."""
-    cents = vectors.where(F.col("vec_id") < n_centroids).select(
+def kmeans_centroids(vectors: DataFrame, k: int = N_IVF_CENTROIDS,
+                     n_iter: int = 3) -> DataFrame:
+    """(centroid_id, ce) — Lloyd-refined IVF centroids (cosine assignment,
+    elementwise-mean update), seeded deterministically with the first k
+    vectors by id.
+
+    Each iteration is two small jobs: a broadcast-argmax assignment and a
+    posexplode + groupBy((centroid, pos)) mean whose output is exactly
+    k × dim rows — the centroid table stays driver-sized no matter the
+    collection size. At 100 TB you train on a sample (the assignment job is
+    the only full-data pass) and the loop shape is unchanged.
+    """
+    spark = vectors.sparkSession
+    cents = vectors.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
     )
+    for _ in range(n_iter):
+        j = vectors.crossJoin(F.broadcast(cents))
+        cos = _dot(F.col("embedding"), F.col("ce")) / (
+            _norm(F.col("embedding")) * _norm(F.col("ce"))
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+        assign = (
+            j.select("vec_id", "centroid_id", "embedding", cos.alias("cos"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+        )
+        means = (
+            assign.select("centroid_id", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "centroid_id",
+                F.transform(F.col("pm"), lambda s: s["m"].cast("float")).alias("ce"),
+            )
+        )
+        rows = means.collect()  # k rows — driver-sized by construction
+        cents = spark.createDataFrame(
+            [(int(r["centroid_id"]), list(r["ce"])) for r in rows],
+            "centroid_id long, ce array<float>",
+        )
+    return cents
+
+
+def ivf_assign(vectors: DataFrame, n_centroids: int = N_IVF_CENTROIDS,
+               centroids: DataFrame | None = None) -> DataFrame:
+    """(vec_id, centroid_id) — IVF coarse quantization: assign each vector to
+    its max-cosine centroid. Default centroids are the deterministic seed
+    set (first K vectors by id — what the SQL oracle restates); pass
+    ``centroids`` from :func:`kmeans_centroids` for the trained quantizer.
+    At scale the assignment is a broadcast join + argmax, and ANN probes
+    only the query's cell(s) instead of the full collection."""
+    cents = centroids if centroids is not None else vectors.where(
+        F.col("vec_id") < n_centroids
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce"))
     j = vectors.crossJoin(F.broadcast(cents))
     cos = _dot(F.col("embedding"), F.col("ce")) / (
         _norm(F.col("embedding")) * _norm(F.col("ce"))
@@ -123,11 +173,23 @@ def ivf_assign(vectors: DataFrame, n_centroids: int = N_IVF_CENTROIDS) -> DataFr
 
 
 def ann_ivf_topk(vectors: DataFrame, query_vec_id: int = 0, k: int = 10,
-                 n_probes: int = 1) -> DataFrame:
-    """Approximate top-k: exact cosine within the query's IVF cell(s)."""
-    assign = ivf_assign(vectors)
-    qcell = assign.where(F.col("vec_id") == query_vec_id).select(
-        F.col("centroid_id").alias("qc")
+                 n_probes: int = 1, centroids: DataFrame | None = None) -> DataFrame:
+    """Approximate top-k: exact cosine within the query's ``n_probes``
+    closest IVF cells (probing more cells trades latency for recall)."""
+    cents = centroids if centroids is not None else vectors.where(
+        F.col("vec_id") < N_IVF_CENTROIDS
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce"))
+    assign = ivf_assign(vectors, centroids=cents)
+    qe_df = vectors.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qe0")
+    )
+    qcos = _dot(F.col("ce"), F.col("qe0")) / (_norm(F.col("ce")) * _norm(F.col("qe0")))
+    qcell = (
+        cents.crossJoin(F.broadcast(qe_df))
+        .select(F.col("centroid_id").alias("qc"), qcos.alias("qcos"))
+        .orderBy(F.desc("qcos"), F.asc("qc"))
+        .limit(n_probes)
+        .select("qc")
     )
     cands = vectors.join(assign, "vec_id").join(
         F.broadcast(qcell), F.col("centroid_id") == F.col("qc")

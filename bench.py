@@ -169,7 +169,7 @@ def main() -> None:
     # bus and understate multi-executor scaling where every node brings its
     # own memory. The full 1/4/8/32 curve is reported for transparency.
     try:
-        scale_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "360000"))
+        scale_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "240000"))
         corpus_path = os.path.join(tmp, "scale_corpus")
         spark = get_spark(app="bench-gen", cores=cpus, shuffle_partitions=max(32, cpus))
         from alexandria_spark.sources.bench_corpus import bench_corpus
@@ -182,8 +182,15 @@ def main() -> None:
         pair_reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
 
         def _one_build(cores: int, rep: int) -> dict:
+            # CPU-affinity pinning: local[N] alone is NOT an N-core machine —
+            # the python workers and JVM service threads spill onto the idle
+            # host's other cores (measured ~30% free speedup for local[1]),
+            # which inflates the 1-core rate and understates scaling. A real
+            # executor owns exactly its cores, so pin the whole process tree.
+            pin = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"] \
+                if shutil.which("taskset") else []
             r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--phase-build",
+                [*pin, sys.executable, os.path.abspath(__file__), "--phase-build",
                  str(cores), corpus_path,
                  os.path.join(tmp, f"idx_c{cores}_{rep}"), "throughput"],
                 capture_output=True, text=True, timeout=3600,
@@ -219,7 +226,8 @@ def main() -> None:
             "efficiency": round(r4n / rn / 4, 3),
             "pair_reps": pair_reps,
             "per_rep_efficiency": rep_ratios,
-            "note": "pair 1->4 sits below this host's DRAM-contention knee "
+            "note": "levels run CPU-pinned (taskset) so local[N] really is an "
+                    "N-core machine; pair 1->4 sits below this host's DRAM knee "
                     "(~5.6 GB/s aggregate, BENCH.md), the faithful proxy for "
                     "N->4N executors that each bring their own memory. The "
                     "corpus is sized so the ~12s CONSTANT per-build serial "

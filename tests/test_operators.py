@@ -199,3 +199,34 @@ def test_bloom_filter_save_load_roundtrip(tmp_path, spark, docs):
     bad.write_bytes(b"NOTAFILT" + b"\0" * 16)
     with pytest.raises(ValueError):
         BloomFilter.load(str(bad))
+
+
+def test_ivf_trained_and_multiprobe(spark):
+    """k-means-trained IVF: centroids refine deterministically, assignment
+    stays a total partition, and multi-probe recall is monotone (same
+    centroids, more probed cells => superset of candidates)."""
+    from alexandria_spark.operators.similarity import (
+        ann_ivf_topk,
+        cosine_topk,
+        ivf_assign,
+        kmeans_centroids,
+    )
+    from alexandria_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = kmeans_centroids(emb, k=8, n_iter=2)
+    rows = cents.collect()
+    assert len(rows) == 8 and all(len(r.ce) == 64 for r in rows)
+
+    assign = ivf_assign(emb, centroids=cents)
+    n_vecs = emb.count()
+    assert assign.count() == n_vecs  # every vector lands in exactly one cell
+    assert assign.select("vec_id").distinct().count() == n_vecs
+
+    exact = [r.vec_id for r in cosine_topk(emb, 0, 10).collect()]
+    r1 = {r.vec_id for r in ann_ivf_topk(emb, 0, 10, n_probes=1, centroids=cents).collect()}
+    r3 = {r.vec_id for r in ann_ivf_topk(emb, 0, 10, n_probes=3, centroids=cents).collect()}
+    rec1 = len(r1 & set(exact)) / 10
+    rec3 = len(r3 & set(exact)) / 10
+    assert rec3 >= rec1  # monotone in probes
+    assert rec3 >= 0.2, (rec1, rec3)

@@ -350,6 +350,59 @@ def q_index_search_or_topk(spark, sf_dir):
     return _index_search(spark, sf_dir, Q_TOPK, "or", 20)
 
 
+def q_bmw_search_topk(spark, sf_dir):
+    """Same top-k through the distributed block-max WAND engine
+    (plans/query.search_bmw) over the persisted index."""
+    from alexandria_spark.plans.query import search_bmw
+
+    idx = _suite_index(spark, sf_dir)
+    hits = search_bmw(spark, idx, " ".join(Q_AND), mode="and", k=40, cfg=_IDX_CFG)
+    df = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
+    )
+    df = df.select("doc_id", _r4(F.col("score")).alias("score"))
+    return df.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+def q_local_index_topk(spark, sf_dir):
+    """Same top-k through the RAM-pinned low-latency serving path
+    (plans/query.LocalIndex, term-at-a-time quit/continue with block-max)."""
+    from alexandria_spark.plans.query import LocalIndex
+
+    idx = _suite_index(spark, sf_dir)
+    hits = LocalIndex(spark, idx, _IDX_CFG).search(" ".join(Q_AND), "and", 40)
+    df = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
+    )
+    df = df.select("doc_id", _r4(F.col("score")).alias("score"))
+    return df.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+def _suite_docpart(spark, sf_dir):
+    key = ("docpart", sf_dir)
+    if key not in _IDX_CACHE:
+        import tempfile
+
+        from alexandria_spark.plans.docpart import build_docpart_index
+
+        path = tempfile.mkdtemp(prefix="ax_suite_dp_") + "/idx"
+        _IDX_CACHE[key] = build_docpart_index(
+            spark, _docs(spark, sf_dir), path, _IDX_CFG, text_col="text"
+        )
+    return _IDX_CACHE[key]
+
+
+def q_docpart_search_topk(spark, sf_dir):
+    """Same top-k through the doc-partitioned layout (per-bucket WAND on
+    executors, plans/docpart.search_docpart)."""
+    from alexandria_spark.plans.docpart import search_docpart
+
+    idx = _suite_docpart(spark, sf_dir)
+    r = search_docpart(spark, idx, " ".join(Q_AND), mode="and", k=40, cfg=_IDX_CFG)
+    r = r.select("doc_id", _r4(F.col("score")).alias("score"))
+    return r.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
 SQL_INDEX_SEARCH_OR_TOPK = SQL_PRELUDE + (
     f"SELECT doc_id, round(sum(CAST(score AS DOUBLE)), 4) AS score "
     f"FROM scored WHERE term IN ('{Q_TOPK[0]}','{Q_TOPK[1]}') GROUP BY doc_id "
@@ -375,6 +428,9 @@ ENTRIES: dict[str, tuple] = {
     "top_per_source": (q_top_per_source, SQL_TOP_PER_SOURCE),
     "index_search_topk": (q_index_search_topk, SQL_INDEX_SEARCH_TOPK),
     "index_search_or_topk": (q_index_search_or_topk, SQL_INDEX_SEARCH_OR_TOPK),
+    "bmw_search_topk": (q_bmw_search_topk, SQL_INDEX_SEARCH_TOPK),
+    "docpart_search_topk": (q_docpart_search_topk, SQL_INDEX_SEARCH_TOPK),
+    "local_index_topk": (q_local_index_topk, SQL_INDEX_SEARCH_TOPK),
     # training-data pipeline operators (operators/{dedup,analysis,similarity,multimodal})
     **dedup.ENTRIES,
     **analysis.ENTRIES,

@@ -645,4 +645,8 @@ def build_index(
 
     if not materialize_stage1:
         term_doc.unpersist()
+    from alexandria_spark.plans.snapshots import commit_snapshot
+
+    commit_snapshot(index_path, "build",
+                    {"run_id": run_id, "n_docs": n_docs, "waves": cfg.build_waves})
     return idx

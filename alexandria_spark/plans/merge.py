@@ -75,6 +75,9 @@ def rebuild_from_term_doc(
     atomic_swap_dir(tmp, idx.postings_path)
     log.mark_done("rebuild", run_id, run_id, docs_processed=n_docs,
                   wall_ms=int(1000 * (time.time() - t0)))
+    from alexandria_spark.plans.snapshots import commit_snapshot
+
+    commit_snapshot(index_path, "rebuild", {"run_id": run_id, "n_docs": n_docs})
     return idx
 
 

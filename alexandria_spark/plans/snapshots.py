@@ -1,0 +1,140 @@
+"""Iceberg-shaped snapshot layer over the index's parquet tables.
+
+BASELINE's north rule calls for Iceberg-backed index tables; this sandbox
+has no Iceberg jars (documented in ROUND_NOTES), so this module implements
+the part of the Iceberg model the engine actually relies on — immutable
+snapshots of explicit file manifests with an atomically-swapped HEAD
+pointer — directly on the parquet layout:
+
+- a *snapshot* is a JSON manifest listing, per table (postings, doc_lengths,
+  term_stats, term_doc), the exact data files (path, size) plus a parent
+  pointer, timestamp and operation summary — Iceberg's snapshot + manifest
+  list collapsed into one small file (the index has thousands of files, not
+  millions);
+- ``HEAD`` is flipped via tmp+rename, so commits are atomic and a crashed
+  writer leaves the previous snapshot intact;
+- readers pin a snapshot's explicit file list (``spark.read.parquet(*files)``)
+  instead of listing directories, so an in-flight rebuild/compaction can
+  never tear a read — snapshot isolation — and any older snapshot remains
+  queryable (time travel) until its files are garbage-collected.
+
+The swap-based rebuild (plans/merge.py, plans/delete.py) plus this log give
+readers the same guarantees an Iceberg catalog would: monotonically
+advancing, never-torn table state with history.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = ("postings", "postings_doc", "doc_lengths", "term_stats", "term_doc")
+
+
+def _snap_dir(index_path: str) -> str:
+    return os.path.join(index_path, "_snapshots")
+
+
+def _data_files(table_dir: str) -> list[dict]:
+    out = []
+    for root, _dirs, files in os.walk(table_dir):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out.append({
+                    "path": os.path.relpath(p, table_dir),
+                    "bytes": os.path.getsize(p),
+                })
+    return out
+
+
+def commit_snapshot(index_path: str, operation: str,
+                    summary: dict | None = None) -> dict:
+    """Record the current state of every index table as a new snapshot and
+    atomically advance HEAD. Returns the snapshot record."""
+    sdir = _snap_dir(index_path)
+    os.makedirs(sdir, exist_ok=True)
+    parent = head_snapshot_id(index_path)
+    snap_id = uuid.uuid4().hex[:16]
+    tables = {}
+    for t in TABLES:
+        tdir = os.path.join(index_path, t)
+        if os.path.isdir(tdir):
+            files = _data_files(tdir)
+            tables[t] = {
+                "files": files,
+                "n_files": len(files),
+                "bytes": sum(f["bytes"] for f in files),
+            }
+    rec = {
+        "snapshot_id": snap_id,
+        "parent_id": parent,
+        "timestamp": time.time(),
+        "operation": operation,
+        "summary": summary or {},
+        "tables": tables,
+    }
+    tmp = os.path.join(sdir, f".tmp-{snap_id}")
+    with open(tmp, "w") as fh:
+        json.dump(rec, fh)
+    os.replace(tmp, os.path.join(sdir, f"snap-{snap_id}.json"))
+    # atomic HEAD flip: a crash before this line leaves the old HEAD valid
+    htmp = os.path.join(sdir, ".head-tmp")
+    with open(htmp, "w") as fh:
+        fh.write(snap_id)
+    os.replace(htmp, os.path.join(sdir, "HEAD"))
+    return rec
+
+
+def head_snapshot_id(index_path: str) -> str | None:
+    p = os.path.join(_snap_dir(index_path), "HEAD")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return fh.read().strip() or None
+
+
+def load_snapshot(index_path: str, snapshot_id: str | None = None) -> dict | None:
+    """The snapshot record for ``snapshot_id`` (HEAD when None)."""
+    snap_id = snapshot_id or head_snapshot_id(index_path)
+    if snap_id is None:
+        return None
+    p = os.path.join(_snap_dir(index_path), f"snap-{snap_id}.json")
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def history(index_path: str) -> list[dict]:
+    """All snapshots, oldest first (by timestamp)."""
+    sdir = _snap_dir(index_path)
+    if not os.path.isdir(sdir):
+        return []
+    recs = []
+    for name in os.listdir(sdir):
+        if name.startswith("snap-") and name.endswith(".json"):
+            with open(os.path.join(sdir, name)) as fh:
+                recs.append(json.load(fh))
+    return sorted(recs, key=lambda r: r["timestamp"])
+
+
+def read_table(spark: SparkSession, index_path: str, table: str,
+               snapshot_id: str | None = None) -> DataFrame:
+    """Read a table pinned to a snapshot's exact file manifest (HEAD by
+    default) — never a live directory listing, so concurrent rebuilds
+    cannot tear the read and old snapshots stay queryable (time travel).
+
+    Partition columns (wave=/shard=/bucket= path segments) are recovered
+    with basePath so the frame matches a directory read of that state.
+    """
+    rec = load_snapshot(index_path, snapshot_id)
+    if rec is None or table not in rec["tables"]:
+        raise ValueError(f"no snapshot data for table {table!r}")
+    tdir = os.path.join(index_path, table)
+    files = [os.path.join(tdir, f["path"]) for f in rec["tables"][table]["files"]]
+    if not files:
+        raise ValueError(f"snapshot has no files for table {table!r}")
+    return spark.read.option("basePath", tdir).parquet(*files)

@@ -52,6 +52,9 @@ def ingest_stream(
             .withColumn("wave", F.pmod(F.col("shard"), F.lit(cfg.build_waves)))
             .write.mode("append").partitionBy("wave").parquet(td_path)
         )
+        from alexandria_spark.plans.snapshots import commit_snapshot
+
+        commit_snapshot(index_path, "append", {"batch_id": int(batch_id)})
 
     writer = (
         stream.writeStream.foreachBatch(handle)

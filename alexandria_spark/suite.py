@@ -364,6 +364,41 @@ def q_bmw_search_topk(spark, sf_dir):
     return df.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
 
 
+def q_index_doc_lengths(spark, sf_dir):
+    """The PERSISTED doc_lengths table written by build_index (stage 2)."""
+    import os
+
+    idx = _suite_index(spark, sf_dir)
+    return spark.read.parquet(os.path.join(idx.path, "doc_lengths")).select(
+        "doc_id", F.col("doc_len").cast("long").alias("doc_len")
+    )
+
+
+SQL_INDEX_DOC_LENGTHS = SQL_PRELUDE + "SELECT doc_id, doc_len FROM dl"
+
+
+def q_index_term_stats(spark, sf_dir):
+    """The PERSISTED term_stats table (term_id -> df), surfaced per term by
+    joining the tokenized vocabulary (term ids are murmur2-64, which DuckDB
+    cannot compute — the df VALUES under test come from the index files)."""
+    import os
+
+    from alexandria_spark.plans.build import tokenize_docs
+
+    idx = _suite_index(spark, sf_dir)
+    ts = spark.read.parquet(os.path.join(idx.path, "term_stats"))
+    vocab = (
+        tokenize_docs(_docs(spark, sf_dir), CFG, keep_term=True)
+        .select("term", "term_id").distinct()
+    )
+    return vocab.join(ts, "term_id").select(
+        "term", F.col("df").cast("long").alias("df")
+    )
+
+
+SQL_INDEX_TERM_STATS = SQL_PRELUDE + "SELECT term, df FROM dfreq"
+
+
 def q_local_index_topk(spark, sf_dir):
     """Same top-k through the RAM-pinned low-latency serving path
     (plans/query.LocalIndex, term-at-a-time quit/continue with block-max)."""
@@ -431,6 +466,8 @@ ENTRIES: dict[str, tuple] = {
     "bmw_search_topk": (q_bmw_search_topk, SQL_INDEX_SEARCH_TOPK),
     "docpart_search_topk": (q_docpart_search_topk, SQL_INDEX_SEARCH_TOPK),
     "local_index_topk": (q_local_index_topk, SQL_INDEX_SEARCH_TOPK),
+    "index_doc_lengths": (q_index_doc_lengths, SQL_INDEX_DOC_LENGTHS),
+    "index_term_stats": (q_index_term_stats, SQL_INDEX_TERM_STATS),
     # training-data pipeline operators (operators/{dedup,analysis,similarity,multimodal})
     **dedup.ENTRIES,
     **analysis.ENTRIES,

@@ -70,9 +70,17 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame, band_size: int = 4) -> DataFrame:
+def lsh_candidate_pairs(docs: DataFrame, band_size: int = 4,
+                        max_bucket: int | None = 10_000) -> DataFrame:
     """(doc_a, doc_b) candidate near-duplicate pairs: docs sharing a full
-    MinHash band (banding → bucket-join, the scalable LSH path)."""
+    MinHash band (banding → bucket-join, the scalable LSH path).
+
+    Hot-bucket guard: a degenerate bucket of B docs creates B²/2 pairs in
+    ONE task (boilerplate/empty files land in the same band at web scale).
+    Buckets larger than ``max_bucket`` are dropped and counted — the
+    standard LSH cap (such buckets are near-universal content whose pairs a
+    verifier would reject anyway); pass None to disable.
+    """
     sig = minhash_signatures(docs).withColumn(
         "band", (F.col("perm_id") / band_size).cast("int")
     )
@@ -81,6 +89,13 @@ def lsh_candidate_pairs(docs: DataFrame, band_size: int = 4) -> DataFrame:
             F.concat_ws(":", F.col("perm_id"), F.col("minh"))
         ))).alias("band_key")
     )
+    if max_bucket is not None:
+        sizes = bands.groupBy("band", "band_key").agg(F.count("*").alias("bn"))
+        bands = bands.join(
+            sizes.where(F.col("bn") <= max_bucket).select("band", "band_key"),
+            ["band", "band_key"],
+            "left_semi",
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -22,6 +22,7 @@ from pyspark.sql.window import Window
 from alexandria_spark.config import DEFAULT, EngineConfig
 from alexandria_spark.operators import (
     analysis,
+    chunking,
     dedup,
     graph,
     links,
@@ -476,6 +477,7 @@ ENTRIES: dict[str, tuple] = {
     **serving.ENTRIES,
     **graph.ENTRIES,
     **links.ENTRIES,
+    **chunking.ENTRIES,
     **_stream_windows.ENTRIES,
 }
 

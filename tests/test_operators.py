@@ -230,3 +230,23 @@ def test_ivf_trained_and_multiprobe(spark):
     rec3 = len(r3 & set(exact)) / 10
     assert rec3 >= rec1  # monotone in probes
     assert rec3 >= 0.2, (rec1, rec3)
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """Degenerate buckets (identical content everywhere) are dropped past
+    max_bucket instead of exploding into B^2/2 pairs in one task."""
+    from alexandria_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated for every document here") for i in range(12)]
+        + [(100, "a unique document about spark"), (101, "a unique document about spark")],
+        ["doc_id", "text"],
+    )
+    capped = lsh_candidate_pairs(docs, max_bucket=10).collect()
+    # the 12-doc boilerplate bucket is dropped; the 2-doc near-dup survives
+    ids = {(r.doc_a, r.doc_b) for r in capped}
+    assert (100, 101) in ids
+    assert not any(a < 100 and b < 100 for a, b in ids)
+
+    uncapped = lsh_candidate_pairs(docs, max_bucket=None).collect()
+    assert len(uncapped) == 12 * 11 // 2 + 1

@@ -365,6 +365,31 @@ def q_bmw_search_topk(spark, sf_dir):
     return df.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
 
 
+def q_impact_single_topk(spark, sf_dir):
+    """Single-term top-k through the impact-ordered layout (plans/impact.py:
+    blocks decoded in descending-max order with exact early termination)."""
+    from alexandria_spark.plans.impact import build_impact_postings, impact_single_topk
+
+    idx = _suite_index(spark, sf_dir)
+    key = ("impact", sf_dir)
+    if key not in _IDX_CACHE:
+        build_impact_postings(spark, idx, _IDX_CFG)
+        _IDX_CACHE[key] = True
+    hits = impact_single_topk(spark, idx, Q_SINGLE, k=40, cfg=_IDX_CFG)
+    df = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
+    )
+    df = df.select("doc_id", _r4(F.col("score")).alias("score"))
+    return df.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+SQL_IMPACT_SINGLE_TOPK = SQL_PRELUDE + (
+    f"SELECT doc_id, round(sum(CAST(score AS DOUBLE)), 4) AS score "
+    f"FROM scored WHERE term = '{Q_SINGLE}' GROUP BY doc_id "
+    f"ORDER BY score DESC, doc_id ASC LIMIT 20"
+)
+
+
 def q_index_doc_lengths(spark, sf_dir):
     """The PERSISTED doc_lengths table written by build_index (stage 2)."""
     import os
@@ -469,6 +494,7 @@ ENTRIES: dict[str, tuple] = {
     "local_index_topk": (q_local_index_topk, SQL_INDEX_SEARCH_TOPK),
     "index_doc_lengths": (q_index_doc_lengths, SQL_INDEX_DOC_LENGTHS),
     "index_term_stats": (q_index_term_stats, SQL_INDEX_TERM_STATS),
+    "impact_single_topk": (q_impact_single_topk, SQL_IMPACT_SINGLE_TOPK),
     # training-data pipeline operators (operators/{dedup,analysis,similarity,multimodal})
     **dedup.ENTRIES,
     **analysis.ENTRIES,

@@ -80,3 +80,28 @@ def test_compact_multiwave_no_stale_partitions(spark, tmp_path):
     # queries over the compacted index see only retained docs
     hits = {r.doc_id for r in search(spark, idx, "def", "or", k=50).collect()}
     assert hits <= set(keep)
+
+
+def test_compact_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between the two renames of the term_doc swap leaves only
+    term_doc_old; the next compact must restore it and proceed."""
+    import os
+
+    docs = with_doc_ids(synth_corpus(spark, 30, seed=55))
+    idx = build_index(spark, docs, str(tmp_path / "idx"), CFG, text_col="content")
+    td = os.path.join(idx.path, "term_doc")
+
+    # crash shape 1: dst missing, _old dangling
+    os.replace(td, td + "_old")
+    delete_docs(spark, idx, [0])
+    compact(spark, idx, CFG)
+    assert os.path.exists(td) and not os.path.exists(td + "_old")
+    hits = {r.doc_id for r in search(spark, idx, "def", "or", k=50).collect()}
+    assert 0 not in hits
+
+    # crash shape 2: both present (crash after the new dir landed) -> _old dropped
+    import shutil
+
+    shutil.copytree(td, td + "_old")
+    compact(spark, idx, CFG)
+    assert os.path.exists(td) and not os.path.exists(td + "_old")

@@ -1,0 +1,66 @@
+"""Impact-ordered posting layout: same postings, impact-major block order,
+exact single-term top-k with early termination."""
+
+import numpy as np
+import pytest
+
+from alexandria_spark.config import EngineConfig
+from alexandria_spark.plans.blocks import decode_blocks
+from alexandria_spark.plans.build import build_index, with_doc_ids
+from alexandria_spark.plans.impact import build_impact_postings, impact_single_topk
+from alexandria_spark.plans.query import LocalIndex
+from alexandria_spark.sources.tables import synth_corpus
+
+CFG = EngineConfig(num_shards=8, block_size=8, shuffle_partitions=8,
+                   build_waves=1, max_postings_per_salt=64)
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    docs = with_doc_ids(synth_corpus(spark, 120, seed=61))
+    i = build_index(spark, docs, str(tmp_path_factory.mktemp("imp") / "idx"),
+                    CFG, text_col="content")
+    build_impact_postings(spark, i, CFG)
+    return i
+
+
+def test_impact_layout_same_postings(spark, idx):
+    """Decode(impact table) must be the exact posting multiset of the
+    doc-sorted table — only the block arrangement differs."""
+    import os
+
+    doc_sorted = decode_blocks(idx.postings(spark).toPandas(), want_tf=True)
+    impact = decode_blocks(
+        spark.read.parquet(os.path.join(idx.path, "postings_impact")).toPandas(),
+        want_tf=True,
+    )
+    key = lambda df: sorted(map(tuple, df[["term_id", "doc_id", "score", "tf"]].to_numpy()))
+    assert key(doc_sorted) == key(impact)
+
+
+def test_impact_block_zero_is_strongest(spark, idx):
+    """Within each (term, salt) group, block 0's max_score must dominate."""
+    import os
+
+    pdf = spark.read.parquet(os.path.join(idx.path, "postings_impact")).toPandas()
+    for (_t, _s), grp in pdf.groupby(["term_id", "salt"]):
+        ms = grp.sort_values("block_id")["max_score"].to_numpy()
+        assert (ms[0] >= ms[1:]).all() if len(ms) > 1 else True
+
+
+def test_impact_single_topk_exact_and_early(spark, idx):
+    local = LocalIndex(spark, idx, CFG)
+    total_reads = []
+    for term in ["def", "return", "merge", "the"]:
+        stats = {}
+        got = impact_single_topk(spark, idx, term, k=5, cfg=CFG, _stats=stats)
+        exp = local.search(term, "or", 5)
+        assert [(d, round(s, 6)) for d, s in got] == [
+            (d, round(s, 6)) for d, s in exp
+        ], term
+        if stats.get("blocks_total", 0) > 2:
+            total_reads.append((stats["blocks_read"], stats["blocks_total"]))
+    # early termination: at least one multi-block term stopped early
+    assert any(r < t for r, t in total_reads), total_reads
+
+    assert impact_single_topk(spark, idx, "zzz_absent", k=5, cfg=CFG) == []

@@ -147,6 +147,9 @@ def build_docpart_index(
 
     blocks = parts.mapInPandas(fn, BLOCK_SCHEMA).withColumn("bucket", F.col("salt"))
     blocks.write.partitionBy("bucket").mode("overwrite").parquet(idx.postings_path)
+    from alexandria_spark.plans.snapshots import commit_snapshot
+
+    commit_snapshot(index_path, "build_docpart", {"n_buckets": n_buckets})
     return idx
 
 

@@ -32,7 +32,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-TABLES = ("postings", "postings_doc", "doc_lengths", "term_stats", "term_doc")
+TABLES = ("postings", "postings_doc", "postings_impact",
+          "doc_lengths", "term_stats", "term_doc")
 
 
 def _snap_dir(index_path: str) -> str:

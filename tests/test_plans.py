@@ -62,3 +62,45 @@ def test_query_reads_only_matching_shards(spark, idx):
     all_files = files(idx.postings(spark))
     pruned = files(idx.postings(spark).where(F.col("shard") == 0))
     assert 0 < pruned < all_files
+
+
+def test_link_boost_plan_is_broadcast_and_semijoin(spark):
+    """The at-scale shape of the link boosts must be visible in the plan:
+    the links table is semi-joined down to the candidate set (no full-links
+    shuffle into the aggregate path) and the tiny boost relation joins back
+    as a BroadcastHashJoin."""
+    from alexandria_spark.operators.links import apply_url_link_boosts
+
+    results = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit(1.0).alias("score")
+    )
+    links = spark.range(10_000).select(
+        (F.col("id") % 50).cast("string").alias("source_domain"),
+        (F.col("id") % 200).alias("target_hash"),
+        ((F.col("id") % 100) / 100.0).alias("score"),
+    )
+    plan = _plan(apply_url_link_boosts(results, links))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+
+
+def test_serve_truncation_is_take_ordered(spark):
+    from alexandria_spark.operators.serving import truncate_candidates
+
+    cfg = EngineConfig(pre_result_limit=1000)
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).cast("double").alias("score")
+    )
+    assert "TakeOrderedAndProject" in _plan(truncate_candidates(df, cfg))
+
+
+def test_simhash_plan_has_no_explode(spark):
+    """simhash16 must stay a single-aggregation plan — no Generate
+    (explode) node and exactly one shuffle."""
+    from alexandria_spark.operators.dedup import simhash16
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta gamma delta")], ["doc_id", "text"]
+    )
+    plan = _plan(simhash16(docs))
+    assert "Generate" not in plan  # no explode anywhere

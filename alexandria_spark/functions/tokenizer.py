@@ -116,11 +116,15 @@ def token_counts(text: pd.Series) -> pd.DataFrame:
     return grouped[["row", "term", "term_id", "tf", "doc_len"]]
 
 
-def query_terms(query: str, limit: int = 10) -> list[tuple[str, int]]:
+def query_terms(query: str, limit: int = 10,
+                expand_blend: bool = False) -> list[tuple[str, int]]:
     """Tokenize a query: first ``limit`` valid words (config.cpp:79), then
     dedupe preserving first occurrence (the reference searches each distinct
-    word once, search_engine.h:456-461). Returns [(term, term_id)]."""
-    words = tokenize(query, limit=limit)
+    word once, search_engine.h:456-461). With ``expand_blend`` the query
+    expands on blend chars exactly like the index side — the reference's
+    get_unique_expanded_full_text_tokens (text.cpp:287-324). Returns
+    [(term, term_id)]."""
+    words = (expanded_words if expand_blend else tokenize)(query, limit=limit)
     seen: dict[str, None] = {}
     for w in words:
         seen.setdefault(w)

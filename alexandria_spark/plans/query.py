@@ -134,7 +134,12 @@ def _query_term_ids(query: str, mode: str, cfg: EngineConfig) -> list[int]:
                 f"n_grams >= {len(words)} (this index: n_grams={cfg.n_grams})"
             )
         return [i64_hash64(" ".join(words))] if words else []
-    return [tid for _, tid in query_terms(query, limit=cfg.query_max_words)]
+    return [
+        tid for _, tid in query_terms(
+            query, limit=cfg.query_max_words,
+            expand_blend=getattr(cfg, "expand_blend", False),
+        )
+    ]
 
 
 def search(

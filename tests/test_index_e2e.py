@@ -247,3 +247,29 @@ def test_decoded_postings_iteration(spark, micro_index):
     assert got[(i64_hash64("the"), 2)] == 2
     assert got[(i64_hash64("cat"), 3)] == 3
     assert len(got) == 5
+
+
+def test_expand_blend_index_and_query(spark, tmp_path):
+    """An index built with expand_blend also expands queries: searching a
+    blend sub-word ('tion') finds docs that only contain 'func-tion', and a
+    blended query term matches via its sub-words — parity with the
+    reference's expanded token paths (text.cpp:253-324)."""
+    from alexandria_spark.config import EngineConfig
+    from alexandria_spark.plans.build import build_index
+    from alexandria_spark.plans.query import search
+
+    cfg = EngineConfig(num_shards=8, block_size=16, shuffle_partitions=8,
+                       build_waves=1, max_postings_per_salt=64,
+                       expand_blend=True)
+    docs = spark.createDataFrame(
+        [(1, "the quick func-tion parser"), (2, "unrelated words entirely"),
+         (3, "tion appears bare here")],
+        ["doc_id", "text"],
+    )
+    idx = build_index(spark, docs, str(tmp_path / "idx"), cfg)
+    # sub-word of a blended token is indexed
+    hits = {r.doc_id for r in search(spark, idx, "tion", "or", k=10, cfg=cfg).collect()}
+    assert hits == {1, 3}
+    # a blended QUERY term matches docs containing only its sub-words (OR)
+    hits2 = {r.doc_id for r in search(spark, idx, "xx-tion", "or", k=10, cfg=cfg).collect()}
+    assert 1 in hits2 and 3 in hits2

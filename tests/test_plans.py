@@ -104,3 +104,35 @@ def test_simhash_plan_has_no_explode(spark):
     )
     plan = _plan(simhash16(docs))
     assert "Generate" not in plan  # no explode anywhere
+
+
+def test_bucketed_doc_store_join_has_no_store_side_shuffle(spark, tmp_path):
+    """Decoration against the bucketed doc store must not shuffle the store:
+    only the results side gets an Exchange (the reference's hash-table
+    doc-store lookup analogue)."""
+    from alexandria_spark.sources.docstore import (
+        decorate_from_store,
+        load_doc_store,
+        save_doc_store,
+    )
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text of doc "), F.col("id")).alias("text"),
+    )
+    save_doc_store(docs, name="ax_store_test", buckets=8)
+    store = load_doc_store(spark, "ax_store_test")
+    results = spark.range(20).select(
+        F.col("id").alias("doc_id"), F.lit(1.0).alias("score")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = decorate_from_store(results, store)
+        plan = _plan(joined)
+        assert joined.count() == 20
+        # exactly one Exchange: the results side; the bucketed store scan
+        # feeds the join without a shuffle
+        assert plan.count("Exchange") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -20,7 +20,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 def save_doc_store(docs: DataFrame, name: str = "ax_doc_store",
                    buckets: int = 32) -> None:
-    """Persist the doc store bucketed+sorted by doc_id (overwrite)."""
+    """Persist the doc store bucketed+sorted by doc_id (overwrite). Drops a
+    pre-existing table, including a dangling warehouse location left by a
+    previous session (the default in-memory catalog forgets tables, the
+    warehouse directory does not)."""
+    import os
+    import shutil
+
+    spark = docs.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+            break
+    shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
     (
         docs.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
         .mode("overwrite").format("parquet").saveAsTable(name)

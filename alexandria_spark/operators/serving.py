@@ -160,6 +160,54 @@ def serve_pipeline(docs: DataFrame, terms: list[str], cfg,
     )
 
 
+def serve_full_index(spark: SparkSession, index, query: str,
+                     links: DataFrame, domain_links: DataFrame,
+                     store: DataFrame, cfg, mode: str = "and",
+                     snippet_len: int = 140,
+                     round_to: int | None = None) -> DataFrame:
+    """The reference's COMPLETE ``index_manager::find`` lifecycle
+    (index_manager.cpp:249-294) composed over the PERSISTED block index:
+
+      intersect (plans/query.search over the delta+varint shards)
+      → URL-link boosts        (apply_link_scores, :340-363)
+      → domain-link boosts     (apply_domain_link_scores, :365-397)
+      → pre_result_limit       (nth_element resize, :284-288)
+      → per-domain dedup       (deduplicate_search_results, :296-325)
+      → decoration + snippet   (hash-table doc-store find, :327-338)
+
+    Scale posture: the index scan is shard-pruned; boosts semi-join the
+    links relation down to the candidates before any shuffle and broadcast
+    the tiny aggregate back; the bucketed doc store is joined without a
+    store-side shuffle; truncation is TakeOrderedAndProject.
+
+    ``round_to`` quantizes boosted scores (half-up) BEFORE ranking so a
+    DuckDB oracle ranking on the same rounded values selects identical
+    boundary rows (the reference's f32 score sums carry their own
+    quantization; exact-float rank identity across engines needs a common
+    grid once transcendental boosts enter the score).
+    """
+    from alexandria_spark.operators.links import (
+        apply_domain_link_boosts,
+        apply_url_link_boosts,
+    )
+    from alexandria_spark.plans.query import search
+    from alexandria_spark.sources.docstore import decorate_from_store
+
+    cands = search(spark, index, query, mode=mode, k=None, cfg=cfg).drop("n_terms")
+    boosted = apply_url_link_boosts(cands, links)
+    # the result's own domain drives both the domain boost and the dedup;
+    # the store join is bucket-co-located (no store-side shuffle)
+    with_dom = boosted.join(store.select("doc_id", "source"), "doc_id")
+    boosted = apply_domain_link_boosts(with_dom, domain_links)
+    if round_to is not None:
+        boosted = boosted.withColumn("score", F.round("score", round_to))
+    cand = truncate_candidates(boosted, cfg)
+    kept = deduplicate_results(cand, cfg)
+    return decorate_from_store(kept, store, snippet_len).select(
+        "source", "doc_id", "score", "snippet"
+    )
+
+
 # ------------------------------------------------------------ suite entries
 
 def q_count_matches(spark: SparkSession, sf_dir: str) -> DataFrame:

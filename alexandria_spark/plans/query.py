@@ -147,12 +147,17 @@ def search(
     index: Index,
     query: str,
     mode: str = "and",
-    k: int = 10,
+    k: int | None = 10,
     cfg: EngineConfig | None = None,
     prune: bool = True,
 ) -> DataFrame:
     """Top-k BM25 search. Returns DataFrame (doc_id, score, n_terms) ordered
-    score desc, unsigned doc_id asc, limited to k. Modes: and | or | phrase."""
+    score desc, unsigned doc_id asc, limited to k. Modes: and | or | phrase.
+
+    ``k=None`` returns the FULL (unordered) match set — the shape the
+    composed serve pipeline needs, where boosts are applied before any
+    truncation (the reference collects all intersection results and only
+    nth_elements them at pre_result_limit, index_manager.cpp:279-288)."""
     cfg = cfg or index.config()
     term_ids = _query_term_ids(query, mode, cfg)
     if not term_ids:
@@ -196,7 +201,8 @@ def search(
     agg = agg.withColumn("n_terms", F.col("n_terms").cast("int"))
     from alexandria_spark.plans.delete import filter_deleted
 
-    return top_k(filter_deleted(spark, index, agg), k)
+    live = filter_deleted(spark, index, agg)
+    return live if k is None else top_k(live, k)
 
 
 def top_k(df: DataFrame, k: int, score_col: str = "score", id_col: str = "doc_id") -> DataFrame:

@@ -453,6 +453,79 @@ def _suite_docpart(spark, sf_dir):
     return _IDX_CACHE[key]
 
 
+def q_index_serve_full(spark, sf_dir):
+    """The COMPOSED serving pipeline over the PERSISTED artifacts — the full
+    index_manager::find lifecycle (index_manager.cpp:249-294) as one entry:
+    block-index search → URL-link boosts → domain-link boosts →
+    pre_result_limit → per-domain dedup with backfill → doc-store
+    decoration. Limits sized so every knob bites at sf0.001 (312 AND
+    candidates over 20 sources → pre=120, cap=1, limit=40: truncation
+    drops, the cap dedups, and 20 in-cap rows force a 20-row backfill)."""
+    import dataclasses
+
+    from alexandria_spark.operators.links import synth_domain_links, synth_links
+    from alexandria_spark.operators.serving import serve_full_index
+    from alexandria_spark.sources.docstore import load_doc_store, save_doc_store
+
+    idx = _suite_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    key = ("store", sf_dir)
+    if key not in _IDX_CACHE:
+        name = "ax_serve_store_" + "".join(
+            c if c.isalnum() else "_" for c in sf_dir.strip("/")
+        )
+        save_doc_store(docs, name=name, buckets=8)
+        _IDX_CACHE[key] = name
+    store = load_doc_store(spark, _IDX_CACHE[key])
+    cfg = dataclasses.replace(
+        _IDX_CFG, pre_result_limit=120, dedup_group_count=1, result_limit=40
+    )
+    return serve_full_index(
+        spark, idx, " ".join(Q_LINK_SERVE), synth_links(docs),
+        synth_domain_links(docs), store, cfg, mode="and", round_to=4,
+    )
+
+
+Q_LINK_SERVE = ["table", "hash"]
+
+
+def _sql_index_serve_full():
+    from alexandria_spark.operators.links import _SQL_LINKS
+
+    return SQL_PRELUDE + _SQL_LINKS + f"""
+, base AS (
+  SELECT doc_id, sum(CAST(score AS DOUBLE)) AS score
+  FROM scored WHERE term IN ('{Q_LINK_SERVE[0]}','{Q_LINK_SERVE[1]}')
+  GROUP BY doc_id HAVING count(*) = 2
+),
+upp AS (SELECT source_domain, target_hash, max(score) AS s
+        FROM links GROUP BY source_domain, target_hash),
+ubst AS (SELECT target_hash, sum((exp(25.0e0 * s) - 1.0e0) / 50.0e0) AS boost
+         FROM upp GROUP BY target_hash),
+b1 AS (SELECT b.doc_id, b.score + coalesce(ubst.boost, 0.0e0) AS score
+       FROM base b LEFT JOIN ubst ON ubst.target_hash = b.doc_id),
+dlinks AS (SELECT l.source_domain, d.source AS target_domain, l.score
+           FROM links l JOIN documents d ON d.doc_id = l.target_hash),
+dpp AS (SELECT source_domain, target_domain, max(score) AS s
+        FROM dlinks GROUP BY source_domain, target_domain),
+dbst AS (SELECT target_domain, sum((exp(25.0e0 * s) - 1.0e0) / 50.0e0) AS boost
+         FROM dpp GROUP BY target_domain),
+b2 AS (SELECT b1.doc_id, d.source,
+              round(b1.score + coalesce(dbst.boost, 0.0e0), 4) AS score
+       FROM b1 JOIN documents d USING (doc_id)
+       LEFT JOIN dbst ON dbst.target_domain = d.source),
+cand AS (SELECT * FROM b2 ORDER BY score DESC, doc_id ASC LIMIT 120),
+r AS (SELECT *, (row_number() OVER (PARTITION BY source
+               ORDER BY score DESC, doc_id ASC)) <= 1 AS in_cap FROM cand),
+g AS (SELECT *, row_number() OVER (PARTITION BY in_cap
+               ORDER BY score DESC, doc_id ASC) AS gn FROM r),
+nd AS (SELECT count(*) AS nd FROM r WHERE in_cap)
+SELECT g.source, g.doc_id, g.score, substr(d.text, 1, 140) AS snippet
+FROM g CROSS JOIN nd JOIN documents d USING (doc_id)
+WHERE (in_cap AND gn <= 40) OR ((NOT in_cap) AND gn <= greatest(40 - nd, 0))
+"""
+
+
 def q_docpart_search_topk(spark, sf_dir):
     """Same top-k through the doc-partitioned layout (per-bucket WAND on
     executors, plans/docpart.search_docpart)."""
@@ -473,6 +546,10 @@ SQL_INDEX_SEARCH_OR_TOPK = SQL_PRELUDE + (
 
 ENTRIES: dict[str, tuple] = {
     "content_sha256": (q_content_sha256, SQL_CONTENT_SHA256),
+    # streaming-window entries live EARLY in the sweep: round 2's driver run
+    # recorded no row at all for the final dict entry (user_sessions), so the
+    # tail of the sweep is where a driver-side budget runs out first.
+    **_stream_windows.ENTRIES,
     "doc_lengths": (q_doc_lengths, SQL_DOC_LENGTHS),
     "term_counts": (q_term_counts, SQL_TERM_COUNTS),
     "expanded_term_counts": (q_expanded_term_counts, SQL_EXPANDED_TERM_COUNTS),
@@ -494,6 +571,7 @@ ENTRIES: dict[str, tuple] = {
     "local_index_topk": (q_local_index_topk, SQL_INDEX_SEARCH_TOPK),
     "index_doc_lengths": (q_index_doc_lengths, SQL_INDEX_DOC_LENGTHS),
     "index_term_stats": (q_index_term_stats, SQL_INDEX_TERM_STATS),
+    "index_serve_full": (q_index_serve_full, _sql_index_serve_full()),
     "impact_single_topk": (q_impact_single_topk, SQL_IMPACT_SINGLE_TOPK),
     # training-data pipeline operators (operators/{dedup,analysis,similarity,multimodal})
     **dedup.ENTRIES,
@@ -504,7 +582,6 @@ ENTRIES: dict[str, tuple] = {
     **graph.ENTRIES,
     **links.ENTRIES,
     **chunking.ENTRIES,
-    **_stream_windows.ENTRIES,
 }
 
 

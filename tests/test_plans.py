@@ -106,6 +106,53 @@ def test_simhash_plan_has_no_explode(spark):
     assert "Generate" not in plan  # no explode anywhere
 
 
+def test_serve_full_pipeline_plan_posture(spark, idx):
+    """The composed index_manager::find pipeline must keep every at-scale
+    property in ONE plan: broadcast link boosts with a LeftSemi candidate
+    prune, no shuffle above the bucketed doc-store scan, and
+    TakeOrderedAndProject for the pre_result_limit truncation."""
+    from alexandria_spark.operators.serving import serve_full_index
+    from alexandria_spark.sources.docstore import load_doc_store, save_doc_store
+    from alexandria_spark.plans.build import with_doc_ids
+    from alexandria_spark.sources.tables import synth_corpus
+
+    docs = (
+        with_doc_ids(synth_corpus(spark, 80, seed=17))
+        .withColumn("text", F.col("content"))
+        .withColumn("source", F.col("repo"))
+    )
+    save_doc_store(docs, name="ax_store_serve_plan", buckets=4)
+    store = load_doc_store(spark, "ax_store_serve_plan")
+    links = spark.range(500).select(
+        (F.col("id") % 20).cast("string").alias("source_domain"),
+        F.col("id").alias("target_hash"),
+        ((F.col("id") % 100) / 100.0).alias("score"),
+    )
+    domain_links = spark.range(500).select(
+        (F.col("id") % 20).cast("string").alias("source_domain"),
+        (F.col("id") % 7).cast("string").alias("target_domain"),
+        ((F.col("id") % 100) / 100.0).alias("score"),
+    )
+    cfg = EngineConfig(num_shards=8, block_size=16, shuffle_partitions=8,
+                       build_waves=1, max_postings_per_salt=64,
+                       pre_result_limit=50, dedup_group_count=1,
+                       result_limit=20)
+    out = serve_full_index(
+        spark, idx, "def return", links, domain_links, store, cfg, mode="and",
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    # the bucketed store feeds its joins without an Exchange directly above
+    # any of its scans
+    import re
+    for m in re.finditer(r"Scan parquet [^\n]*ax_store_serve_plan", plan):
+        upstream = plan[:m.start()].rstrip().splitlines()[-1]
+        assert "Exchange" not in upstream, upstream
+    assert out.count() > 0
+
+
 def test_bucketed_doc_store_join_has_no_store_side_shuffle(spark, tmp_path):
     """Decoration against the bucketed doc store must not shuffle the store:
     only the results side gets an Exchange (the reference's hash-table

@@ -126,6 +126,95 @@ def build_impact_postings(spark: SparkSession, index: Index,
     return out_path
 
 
+def _impact_meta(spark: SparkSession, index: Index, tid: int,
+                 num_shards: int) -> pd.DataFrame:
+    """Metadata-only scan of a term's impact blocks, sorted by descending
+    block max (the merged impact order across salts). Column pruning keeps
+    the payload byte columns out of the parquet read entirely."""
+    shard = _shard_of(tid, num_shards)
+    path = os.path.join(index.path, "postings_impact")
+    meta = (
+        spark.read.parquet(path)
+        .where((F.col("shard") == shard) & (F.col("term_id") == tid))
+        .select("salt", "block_id", "n", "max_score")
+        .toPandas()
+    )
+    return meta.sort_values("max_score", ascending=False).reset_index(drop=True)
+
+
+class _ImpactBlockReader:
+    """On-demand payload fetch for one term's impact blocks.
+
+    The round-2 implementation shipped EVERY block payload to the driver
+    before the early-termination loop ran — a hot term's whole posting list
+    (tens of MB) per query. Now only the metadata travels up front; payloads
+    come down in doubling batches of exactly the blocks the loop asks for,
+    so driver bytes track blocks_read, not blocks_total.
+    """
+
+    def __init__(self, spark: SparkSession, index: Index, tid: int,
+                 meta: pd.DataFrame, num_shards: int, first_batch: int):
+        self.spark = spark
+        self.path = os.path.join(index.path, "postings_impact")
+        self.shard = _shard_of(tid, num_shards)
+        self.tid = tid
+        self.meta = meta
+        self.batch = max(1, first_batch)
+        self.rows: dict[int, pd.Series] = {}
+        self.fetched_blocks = 0
+        self.fetch_jobs = 0
+
+    def row(self, i: int) -> pd.Series:
+        if i not in self.rows:
+            self._fetch(i, min(i + self.batch, len(self.meta)))
+            self.batch *= 2
+        return self.rows[i]
+
+    def _fetch(self, lo: int, hi: int) -> None:
+        sel = self.meta.iloc[lo:hi]
+        # one composite key per block; salts/block_ids are int32-nonnegative
+        keys = (
+            sel["salt"].astype("int64") * (1 << 31) + sel["block_id"].astype("int64")
+        ).tolist()
+        pdf = (
+            self.spark.read.parquet(self.path)
+            .where((F.col("shard") == self.shard) & (F.col("term_id") == self.tid))
+            .where(
+                (F.col("salt").cast("long") * (1 << 31)
+                 + F.col("block_id").cast("long")).isin(keys)
+            )
+            .toPandas()
+        )
+        by_key = {
+            int(r["salt"]) * (1 << 31) + int(r["block_id"]): r
+            for _, r in pdf.iterrows()
+        }
+        for ofs, key in enumerate(keys):
+            self.rows[lo + ofs] = by_key[key]
+        self.fetched_blocks += len(keys)
+        self.fetch_jobs += 1
+
+
+def _deleted_u(spark: SparkSession, index: Index) -> np.ndarray:
+    """Sorted unsigned tombstoned doc ids (empty when none)."""
+    from alexandria_spark.plans.delete import load_deletes
+
+    dels = load_deletes(spark, index)
+    if dels is None:
+        return np.empty(0, np.uint64)
+    arr = dels.toPandas()["doc_id"].to_numpy(np.int64).view(np.uint64)
+    return np.sort(arr)
+
+
+def _drop_deleted_u(docs_u: np.ndarray, scores: np.ndarray,
+                    deleted_u: np.ndarray):
+    if len(deleted_u) == 0 or len(docs_u) == 0:
+        return docs_u, scores
+    pos = np.minimum(np.searchsorted(deleted_u, docs_u), len(deleted_u) - 1)
+    keep = deleted_u[pos] != docs_u
+    return docs_u[keep], scores[keep]
+
+
 def impact_single_topk(spark: SparkSession, index: Index, query: str,
                        k: int = 10, cfg: EngineConfig | None = None,
                        _stats: dict | None = None) -> list[tuple[int, float]]:
@@ -134,42 +223,202 @@ def impact_single_topk(spark: SparkSession, index: Index, query: str,
     max_score (ties included via >=... strictly: stop when kth > next max,
     or kth == next max and doc-id tie-break cannot improve — we keep
     decoding on equality, which stays exact and costs at most the tied
-    blocks). ``_stats['blocks_read']`` reports early-termination depth."""
+    blocks). Payloads are fetched lazily in doubling batches (metadata-only
+    scan first), so the driver never materializes blocks the loop never
+    reaches. ``_stats`` reports blocks_read / blocks_total /
+    payload_blocks_fetched / fetch_jobs."""
     cfg = cfg or index.config()
     term_ids = _query_term_ids(query, "or", cfg)
     if len(term_ids) != 1:
         raise ValueError("impact_single_topk serves single-term queries")
     tid = term_ids[0]
-    shard = _shard_of(tid, cfg.num_shards)
-    path = os.path.join(index.path, "postings_impact")
-    pdf = (
-        spark.read.parquet(path)
-        .where((F.col("shard") == shard) & (F.col("term_id") == tid))
-        .toPandas()
-    )
-    if len(pdf) == 0:
+    meta = _impact_meta(spark, index, tid, cfg.num_shards)
+    if len(meta) == 0:
+        if _stats is not None:
+            _stats.update(blocks_read=0, blocks_total=0,
+                          payload_blocks_fetched=0, fetch_jobs=0)
         return []
-    # merged impact order across salts: descending block max
-    pdf = pdf.sort_values("max_score", ascending=False).reset_index(drop=True)
+    deleted_u = _deleted_u(spark, index)
+    # first batch = the smallest impact-order prefix that can hold k postings
+    cum = meta["n"].to_numpy(np.int64).cumsum()
+    first = int(np.searchsorted(cum, k) + 1)
+    reader = _ImpactBlockReader(spark, index, tid, meta, cfg.num_shards,
+                                min(first, len(meta)))
+    maxs = meta["max_score"].to_numpy(np.float32)
     docs: list[np.ndarray] = []
     scores: list[np.ndarray] = []
+    n_collected = 0
     read = 0
-    for i in range(len(pdf)):
+    for i in range(len(meta)):
         kth = None
-        if sum(len(d) for d in docs) >= k:
+        if n_collected >= k:
             allsc = np.concatenate(scores)
             kth = np.partition(allsc, len(allsc) - k)[len(allsc) - k]
-        if kth is not None and kth > pdf["max_score"].iloc[i]:
+        if kth is not None and kth > maxs[i]:
             break  # no remaining block can contribute a better posting
-        dec = decode_blocks(pdf.iloc[i : i + 1])
-        docs.append(dec["doc_id"].to_numpy())
-        scores.append(dec["score"].to_numpy(np.float64))
+        dec = decode_blocks(pd.DataFrame([reader.row(i)]))
+        du, sc = _drop_deleted_u(
+            dec["doc_id"].to_numpy().view(np.uint64),
+            dec["score"].to_numpy(np.float64), deleted_u,
+        )
+        docs.append(du.view(np.int64))
+        scores.append(sc)
+        n_collected += len(du)
         read += 1
     if _stats is not None:
         _stats["blocks_read"] = read
-        _stats["blocks_total"] = int(len(pdf))
+        _stats["blocks_total"] = int(len(meta))
+        _stats["payload_blocks_fetched"] = reader.fetched_blocks
+        _stats["fetch_jobs"] = reader.fetch_jobs
     d = np.concatenate(docs)
     s = np.concatenate(scores)
     du = d.view(np.uint64)
     top = np.lexsort((du, -s))[:k]
     return [(int(d[i]), float(s[i])) for i in top]
+
+
+def impact_or_topk(spark: SparkSession, index: Index, query: str,
+                   k: int = 10, cfg: EngineConfig | None = None,
+                   _stats: dict | None = None) -> list[tuple[int, float]]:
+    """Exact multi-term disjunctive top-k over the impact layout: TAAT with
+    per-block upper bounds (the reference's score-ordered serving,
+    sharded_builder.h:216-228, strengthened to per-block bounds).
+
+    Phase 1 (impact table): repeatedly decode the unread block with the
+    globally largest max_score, accumulating partial scores a(d). With
+    U = Σ_t (next unread block max of term t), any doc not yet seen has
+    true score ≤ U — so once the kth best a(d) exceeds U strictly, no
+    unseen doc can enter the top-k, and the loop stops with
+    θ = kth a(d) (a lower bound of the true kth score).
+
+    Phase 2 (doc-sorted table): a doc d seen only in some terms' prefixes
+    has upper bound ub(d) = a(d) + Σ_{t: d unseen in t} r_t; every doc with
+    ub(d) ≥ θ is a candidate. Their EXACT scores come from one pruned job
+    over the doc-sorted postings — blocks whose [min_doc, max_doc] range
+    contains no candidate are never read (the two layouts complement each
+    other: impact order finds the candidates, doc order completes them).
+    Final ranking: exact score desc, unsigned doc asc.
+    """
+    cfg = cfg or index.config()
+    term_ids = _query_term_ids(query, "or", cfg)
+    if not term_ids:
+        return []
+    if len(term_ids) == 1:
+        return impact_single_topk(spark, index, query, k, cfg, _stats)
+    deleted_u = _deleted_u(spark, index)
+
+    metas = {t: _impact_meta(spark, index, t, cfg.num_shards) for t in term_ids}
+    readers = {
+        t: _ImpactBlockReader(spark, index, t, m, cfg.num_shards, first_batch=2)
+        for t, m in metas.items() if len(m)
+    }
+    ptr = {t: 0 for t in readers}
+    seen: dict[int, set] = {t: set() for t in readers}
+    acc: dict[int, float] = {}
+    p1_read = 0
+
+    def _r(t: int) -> float:
+        m = metas[t]
+        return float(m["max_score"].iloc[ptr[t]]) if ptr[t] < len(m) else 0.0
+
+    while readers:
+        live = [t for t in readers if ptr[t] < len(metas[t])]
+        if not live:
+            break
+        bound = {t: _r(t) for t in live}
+        u_total = sum(bound.values())
+        if len(acc) >= k:
+            vals = np.fromiter(acc.values(), dtype=np.float64)
+            theta = np.partition(vals, len(vals) - k)[len(vals) - k]
+            if theta > u_total:
+                break
+        t = max(live, key=bound.__getitem__)
+        dec = decode_blocks(pd.DataFrame([readers[t].row(ptr[t])]))
+        du, sc = _drop_deleted_u(
+            dec["doc_id"].to_numpy().view(np.uint64),
+            dec["score"].to_numpy(np.float64), deleted_u,
+        )
+        st = seen[t]
+        for d, s in zip(du.view(np.int64).tolist(), sc.tolist()):
+            acc[d] = acc.get(d, 0.0) + s
+            st.add(d)
+        ptr[t] += 1
+        p1_read += 1
+
+    if not acc:
+        if _stats is not None:
+            _stats.update(blocks_read_p1=p1_read, blocks_total=sum(
+                len(m) for m in metas.values()), blocks_fetched_p2=0)
+        return []
+
+    # candidate cut: ub(d) = a(d) + Σ residuals of terms that haven't shown d
+    resid = {t: _r(t) for t in readers}
+    docs_arr = np.fromiter(acc.keys(), dtype=np.int64)
+    a_arr = np.fromiter(acc.values(), dtype=np.float64)
+    ub = a_arr.copy()
+    for t, r_t in resid.items():
+        if r_t <= 0.0:
+            continue
+        in_seen = np.fromiter((d in seen[t] for d in docs_arr.tolist()),
+                              dtype=bool, count=len(docs_arr))
+        ub[~in_seen] += r_t
+    if len(acc) >= k:
+        theta = np.partition(a_arr, len(a_arr) - k)[len(a_arr) - k]
+        cand_mask = ub >= theta
+    else:
+        cand_mask = np.ones(len(docs_arr), dtype=bool)
+    cand = docs_arr[cand_mask]
+
+    exact, p2_blocks = _exact_scores_docsorted(spark, index, term_ids, cand, cfg)
+    if _stats is not None:
+        _stats.update(
+            blocks_read_p1=p1_read,
+            blocks_total=sum(len(m) for m in metas.values()),
+            blocks_fetched_p2=p2_blocks,
+            n_candidates=int(len(cand)),
+        )
+    d = np.fromiter(exact.keys(), dtype=np.int64)
+    s = np.fromiter(exact.values(), dtype=np.float64)
+    top = np.lexsort((d.view(np.uint64), -s))[:k]
+    return [(int(d[i]), float(s[i])) for i in top]
+
+
+def _exact_scores_docsorted(spark: SparkSession, index: Index,
+                            term_ids: list[int], cand: np.ndarray,
+                            cfg: EngineConfig) -> tuple[dict[int, float], int]:
+    """Exact OR scores for the candidate docs from the doc-sorted postings:
+    metadata-pruned (a block is read only when its unsigned doc range
+    contains a candidate), one distributed job, driver receives only the
+    kept blocks' payloads filtered to candidates."""
+    shards = sorted({_shard_of(t, cfg.num_shards) for t in term_ids})
+    blocks = index.postings(spark).where(
+        F.col("shard").isin(shards) & F.col("term_id").isin(list(term_ids))
+    )
+    meta = blocks.select("term_id", "salt", "block_id",
+                         "min_doc", "max_doc").toPandas()
+    if len(meta) == 0 or len(cand) == 0:
+        return {}, 0
+    cand_u = np.sort(cand.view(np.uint64))
+    lo = meta["min_doc"].to_numpy(np.int64).view(np.uint64)
+    hi = meta["max_doc"].to_numpy(np.int64).view(np.uint64)
+    a = np.searchsorted(cand_u, lo, side="left")
+    b = np.searchsorted(cand_u, hi, side="right")
+    kept = meta[b > a]
+    if len(kept) == 0:
+        return {}, 0
+    keys = spark.createDataFrame(kept[["term_id", "salt", "block_id"]])
+    payload = blocks.join(
+        F.broadcast(keys), ["term_id", "salt", "block_id"], "left_semi"
+    ).toPandas()
+    dec = decode_blocks(payload)
+    du = dec["doc_id"].to_numpy().view(np.uint64)
+    pos = np.minimum(np.searchsorted(cand_u, du), len(cand_u) - 1)
+    hit = cand_u[pos] == du
+    dh = dec["doc_id"].to_numpy()[hit]
+    sh = dec["score"].to_numpy(np.float64)[hit]
+    # one summand per (term, doc): deterministic f64 sum in doc-major order
+    order = np.lexsort((sh, dh))
+    dh, sh = dh[order], sh[order]
+    uniq, starts = np.unique(dh, return_index=True)
+    sums = np.add.reduceat(sh, starts)
+    return dict(zip(uniq.tolist(), sums.tolist())), int(len(kept))

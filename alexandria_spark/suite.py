@@ -383,6 +383,25 @@ def q_impact_single_topk(spark, sf_dir):
     return df.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
 
 
+def q_impact_or_topk(spark, sf_dir):
+    """Multi-term OR top-k through the impact-ordered layout: TAAT with
+    per-block bounds finds the candidates, one pruned doc-sorted job
+    completes their exact scores (plans/impact.impact_or_topk)."""
+    from alexandria_spark.plans.impact import build_impact_postings, impact_or_topk
+
+    idx = _suite_index(spark, sf_dir)
+    key = ("impact", sf_dir)
+    if key not in _IDX_CACHE:
+        build_impact_postings(spark, idx, _IDX_CFG)
+        _IDX_CACHE[key] = True
+    hits = impact_or_topk(spark, idx, " ".join(Q_TOPK), k=40, cfg=_IDX_CFG)
+    df = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
+    )
+    df = df.select("doc_id", _r4(F.col("score")).alias("score"))
+    return df.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
 SQL_IMPACT_SINGLE_TOPK = SQL_PRELUDE + (
     f"SELECT doc_id, round(sum(CAST(score AS DOUBLE)), 4) AS score "
     f"FROM scored WHERE term = '{Q_SINGLE}' GROUP BY doc_id "
@@ -573,6 +592,7 @@ ENTRIES: dict[str, tuple] = {
     "index_term_stats": (q_index_term_stats, SQL_INDEX_TERM_STATS),
     "index_serve_full": (q_index_serve_full, _sql_index_serve_full()),
     "impact_single_topk": (q_impact_single_topk, SQL_IMPACT_SINGLE_TOPK),
+    "impact_or_topk": (q_impact_or_topk, SQL_INDEX_SEARCH_OR_TOPK),
     # training-data pipeline operators (operators/{dedup,analysis,similarity,multimodal})
     **dedup.ENTRIES,
     **analysis.ENTRIES,

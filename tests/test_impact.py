@@ -64,3 +64,47 @@ def test_impact_single_topk_exact_and_early(spark, idx):
     assert any(r < t for r, t in total_reads), total_reads
 
     assert impact_single_topk(spark, idx, "zzz_absent", k=5, cfg=CFG) == []
+
+
+def test_impact_payload_fetch_is_lazy(spark, idx):
+    """Driver IO must track blocks_read, not blocks_total: the payload
+    fetch may over-fetch at most the doubling-batch slack (< 2× blocks
+    actually decoded + the initial k-prefix), and for an early-terminated
+    multi-block term it must stay well under the full list."""
+    from alexandria_spark.plans.impact import impact_single_topk as topk
+
+    hit = False
+    for term in ["def", "return", "the", "merge"]:
+        stats = {}
+        topk(spark, idx, term, k=3, cfg=CFG, _stats=stats)
+        if stats["blocks_total"] == 0:
+            continue
+        assert stats["payload_blocks_fetched"] <= 2 * stats["blocks_read"] + 2, stats
+        if stats["blocks_total"] > 4 and stats["blocks_read"] < stats["blocks_total"]:
+            assert stats["payload_blocks_fetched"] < stats["blocks_total"], stats
+            hit = True
+    assert hit  # at least one term exercised real early termination
+
+
+def test_impact_or_topk_rank_identical(spark, idx):
+    """Multi-term OR over the impact layout must rank-match the doc-sorted
+    WAND path exactly, while reading fewer impact blocks than the total."""
+    from alexandria_spark.plans.impact import impact_or_topk
+
+    local = LocalIndex(spark, idx, CFG)
+    stopped_early = False
+    for q in ["def return", "the merge", "def the return"]:
+        stats = {}
+        got = impact_or_topk(spark, idx, q, k=5, cfg=CFG, _stats=stats)
+        exp = local.search(q, "or", 5)
+        assert [(d, round(s, 6)) for d, s in got] == [
+            (d, round(s, 6)) for d, s in exp
+        ], q
+        if stats["blocks_read_p1"] < stats["blocks_total"]:
+            stopped_early = True
+    assert stopped_early
+
+    # single-term delegation + absent terms
+    assert impact_or_topk(spark, idx, "zzz_absent", k=5, cfg=CFG) == []
+    s1 = impact_or_topk(spark, idx, "def", k=5, cfg=CFG)
+    assert s1 == impact_single_topk(spark, idx, "def", k=5, cfg=CFG)

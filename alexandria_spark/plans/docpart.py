@@ -160,14 +160,18 @@ def search_docpart(
     mode: str = "and",
     k: int = 10,
     cfg: EngineConfig | None = None,
+    _blocks: DataFrame | None = None,
 ) -> DataFrame:
     """One-job distributed WAND: per-bucket exact top-k on executors via the
-    shared kernel, global TakeOrdered merge. Returns (doc_id, score, n_terms)."""
+    shared kernel, global TakeOrdered merge. Returns (doc_id, score, n_terms).
+
+    ``_blocks`` lets ``DocPartEngine`` substitute its cached scan."""
     cfg = cfg or index.config()
     term_ids = _query_term_ids(query, mode, cfg)
     if not term_ids:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    blocks = index.postings(spark).where(F.col("term_id").isin(term_ids))
+    source = _blocks if _blocks is not None else index.postings(spark)
+    blocks = source.where(F.col("term_id").isin(term_ids))
     nt = len(term_ids)
     kernel_mode = "and" if mode == "and" else "or"
 
@@ -196,3 +200,31 @@ def search_docpart(
     from alexandria_spark.plans.delete import filter_deleted
 
     return top_k(filter_deleted(spark, index, per), k)
+
+
+class DocPartEngine:
+    """Warm serving over the doc-partitioned layout: the block scan is
+    pinned in executor memory once, so each query is a single cached-scan
+    job (filter on term_id in memory → per-bucket WAND → TakeOrdered) with
+    no parquet IO or re-planning — the ``QueryEngine`` analogue
+    (plans/query.py) for the layout where per-bucket evaluation already
+    runs executor-side. The reference's counterpart is its RAM-cached
+    reader pool (index_reader.cpp:59-89) on a doc-split cluster
+    (URL.h:76-78 host_hash % nodes)."""
+
+    def __init__(self, spark: SparkSession, index: DocPartitionedIndex,
+                 cfg: EngineConfig | None = None, cache: bool = True):
+        self.spark = spark
+        self.index = index
+        self.cfg = cfg or index.config()
+        self.blocks = index.postings(spark)
+        if cache:
+            self.blocks = self.blocks.cache()
+            self.blocks.count()  # materialize the cache once
+
+    def search(self, query: str, mode: str = "and", k: int = 10) -> DataFrame:
+        return search_docpart(self.spark, self.index, query, mode=mode, k=k,
+                              cfg=self.cfg, _blocks=self.blocks)
+
+    def unpersist(self) -> None:
+        self.blocks.unpersist()

@@ -139,3 +139,85 @@ def read_table(spark: SparkSession, index_path: str, table: str,
     if not files:
         raise ValueError(f"snapshot has no files for table {table!r}")
     return spark.read.option("basePath", tdir).parquet(*files)
+
+
+def expire_snapshots(index_path: str, keep_last: int = 3) -> dict:
+    """Iceberg's ``expireSnapshots`` analogue: retain the newest
+    ``keep_last`` snapshots (always including HEAD), drop the older
+    snapshot records, and delete every data file that (a) is referenced by
+    at least one expired snapshot and (b) is referenced by NO retained
+    snapshot. Files unknown to any snapshot are never touched (a concurrent
+    in-flight writer's output stays safe), so at a real refresh cadence the
+    warehouse stops growing without bound while retained history remains
+    fully queryable.
+
+    Note on reachability: ``commit_snapshot`` manifests a table's whole
+    directory and rebuilds retire old files via atomic dir swap, so in
+    normal operation a file on disk is always referenced by the latest
+    snapshot — the dead-file scan is defense in depth. The recurring
+    garbage this call actually reclaims is (a) expired snapshot records and
+    (b) crash leftovers: ``<table>_rebuilding`` staging dirs and
+    ``<table>_old`` swap remnants (after ``recover_swap`` adjudicates them).
+
+    Returns {"expired": [ids], "deleted_files": n, "retained": [ids],
+    "leftover_dirs": [paths]}.
+    """
+    import shutil
+
+    from alexandria_spark.plans.checkpoint import recover_swap
+
+    leftovers = []
+    for t in TABLES:
+        tdir = os.path.join(index_path, t)
+        recover_swap(tdir)  # a crashed swap either restores or drops _old
+        for suffix in ("_rebuilding", "_old"):
+            stray = tdir + suffix
+            if os.path.isdir(stray):
+                shutil.rmtree(stray)
+                leftovers.append(os.path.relpath(stray, index_path))
+
+    recs = history(index_path)
+    if not recs:
+        return {"expired": [], "deleted_files": 0, "retained": [],
+                "leftover_dirs": leftovers}
+    keep_last = max(1, int(keep_last))
+    retained = recs[-keep_last:]
+    head = head_snapshot_id(index_path)
+    if head and head not in {r["snapshot_id"] for r in retained}:
+        retained += [r for r in recs if r["snapshot_id"] == head]
+    retained_ids = {r["snapshot_id"] for r in retained}
+    expired = [r for r in recs if r["snapshot_id"] not in retained_ids]
+
+    def _refs(snapshots):
+        return {
+            (t, f["path"])
+            for r in snapshots
+            for t, tab in r.get("tables", {}).items()
+            for f in tab["files"]
+        }
+
+    keep_files = _refs(retained)
+    dead_files = _refs(expired) - keep_files
+    deleted = 0
+    for table, rel in sorted(dead_files):
+        p = os.path.join(index_path, table, rel)
+        if os.path.exists(p):
+            os.remove(p)
+            deleted += 1
+            # prune now-empty partition dirs up to the table root
+            d = os.path.dirname(p)
+            root = os.path.join(index_path, table)
+            while d != root and os.path.isdir(d) and not os.listdir(d):
+                os.rmdir(d)
+                d = os.path.dirname(d)
+    sdir = _snap_dir(index_path)
+    for r in expired:
+        f = os.path.join(sdir, f"snap-{r['snapshot_id']}.json")
+        if os.path.exists(f):
+            os.remove(f)
+    return {
+        "expired": [r["snapshot_id"] for r in expired],
+        "deleted_files": deleted,
+        "retained": sorted(retained_ids),
+        "leftover_dirs": leftovers,
+    }

@@ -47,11 +47,23 @@ def ingest_stream(
     stream = reader.parquet(input_path)
 
     def handle(batch_df, batch_id: int) -> None:
-        (
-            tokenize_docs(batch_df, cfg, id_col, text_col)
-            .withColumn("wave", F.pmod(F.col("shard"), F.lit(cfg.build_waves)))
-            .write.mode("append").partitionBy("wave").parquet(td_path)
-        )
+        tok = tokenize_docs(batch_df, cfg, id_col, text_col).persist()
+        try:
+            (
+                tok.withColumn(
+                    "wave", F.pmod(F.col("shard"), F.lit(cfg.build_waves))
+                )
+                .write.mode("append").partitionBy("wave").parquet(td_path)
+            )
+            # record which shards this batch touched — a partial refresh
+            # re-blocks ONLY these (the reference's delta merge,
+            # merger.cpp:84-117, merges deltas instead of rebuilding)
+            shards = sorted(
+                int(r["shard"]) for r in tok.select("shard").distinct().collect()
+            )
+            _record_pending(index_path, int(batch_id), shards)
+        finally:
+            tok.unpersist()
         from alexandria_spark.plans.snapshots import commit_snapshot
 
         commit_snapshot(index_path, "append", {"batch_id": int(batch_id)})
@@ -68,8 +80,118 @@ def ingest_stream(
     return q
 
 
+def _pending_dir(index_path: str) -> str:
+    return os.path.join(index_path, "_pending_refresh")
+
+
+def _record_pending(index_path: str, batch_id: int, shards: list[int]) -> None:
+    """Atomically note the shards a micro-batch appended into."""
+    import json
+
+    d = _pending_dir(index_path)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".tmp-{batch_id}")
+    with open(tmp, "w") as fh:
+        json.dump({"batch_id": batch_id, "shards": shards}, fh)
+    os.replace(tmp, os.path.join(d, f"batch-{batch_id}.json"))
+
+
+def pending_shards(index_path: str) -> list[int]:
+    """Union of shards touched by appends since the last refresh."""
+    import json
+
+    d = _pending_dir(index_path)
+    if not os.path.isdir(d):
+        return []
+    out: set[int] = set()
+    for name in os.listdir(d):
+        if name.startswith("batch-") and name.endswith(".json"):
+            with open(os.path.join(d, name)) as fh:
+                out.update(json.load(fh)["shards"])
+    return sorted(out)
+
+
+def _clear_pending(index_path: str) -> None:
+    d = _pending_dir(index_path)
+    if os.path.isdir(d):
+        for name in os.listdir(d):
+            if name.startswith("batch-") and name.endswith(".json"):
+                os.remove(os.path.join(d, name))
+
+
 def refresh_index(spark: SparkSession, index_path: str,
-                  cfg: EngineConfig = DEFAULT) -> Index:
-    """Re-block the index from the accumulated term_doc (stats + postings)."""
-    td = spark.read.parquet(os.path.join(index_path, "term_doc"))
-    return rebuild_from_term_doc(spark, td, index_path, cfg, run_id="refresh")
+                  cfg: EngineConfig = DEFAULT, mode: str = "full") -> Index:
+    """Fold accumulated appends into the serving index.
+
+    ``mode="full"``: re-block EVERYTHING from term_doc with fresh corpus
+    stats (exact BM25 everywhere) — the round-2 behavior, and the only mode
+    that refreshes n_docs/avg_dl.
+
+    ``mode="partial"``: re-block ONLY the (wave, shard) partitions that
+    appends actually touched — at 100 TB, an append of 0.1% of docs must
+    not re-shuffle and re-encode 100% of the postings. Because terms are
+    hash-sharded, a term's complete posting list lives inside its shard, so
+    per-term document frequency is recomputed EXACTLY for every re-blocked
+    term; only the corpus-global n_docs/avg_dl remain at their last-full-
+    refresh values (deliberate: the untouched shards were scored with those
+    same stats, so scores stay mutually consistent — the reference's delta
+    merge defers global re-scoring the same way, merger.cpp:84-117 +
+    calculate_scores afterward). Run a periodic full refresh to re-anchor
+    the global stats."""
+    td_path = os.path.join(index_path, "term_doc")
+    if mode == "full":
+        td = spark.read.parquet(td_path)
+        idx = rebuild_from_term_doc(spark, td, index_path, cfg, run_id="refresh")
+        _clear_pending(index_path)
+        return idx
+    if mode != "partial":
+        raise ValueError(f"unknown refresh mode {mode!r}")
+
+    import json
+
+    from alexandria_spark.plans.build import blockify
+    from alexandria_spark.plans.snapshots import commit_snapshot
+
+    idx = Index(index_path)
+    shards = pending_shards(index_path)
+    if not shards:
+        return idx
+    meta = idx.meta()
+    n_docs, avg_dl = int(meta["n_docs"]), float(meta["avg_dl"])
+
+    # duplicate (term, doc) pairs across appends combine via += ; the filter
+    # is pushed into the parquet scan (shard is a leading stats column)
+    td = (
+        spark.read.parquet(td_path)
+        .where(F.col("shard").isin(shards))
+        .groupBy("term_id", "doc_id", "shard")
+        .agg(F.sum("tf").alias("tf"), F.max("doc_len").alias("doc_len"))
+    )
+    hot_df = {
+        int(r["term_id"]): int(r["df"])
+        for r in td.groupBy("term_id").agg(F.count("*").alias("df"))
+        .where(F.col("df") > cfg.max_postings_per_salt).collect()
+    }
+    blocks = blockify(td, cfg, n_docs, avg_dl, hot_df).withColumn(
+        "wave", F.pmod(F.col("shard"), F.lit(cfg.build_waves))
+    )
+    # wave is a pure function of shard, so dynamic overwrite replaces
+    # exactly the touched shards' partitions and nothing else
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    blocks.write.partitionBy("wave", "shard").mode("overwrite").parquet(
+        idx.postings_path
+    )
+    # doc_lengths: append rows for docs the touched shards introduced (the
+    # streaming contract is append-only new docs; a doc's full token set
+    # lands in the same batch, so its doc_len is complete here)
+    dl_path = os.path.join(index_path, "doc_lengths")
+    existing = spark.read.parquet(dl_path).select("doc_id")
+    new_dl = (
+        td.groupBy("doc_id").agg(F.first("doc_len").alias("doc_len"))
+        .join(existing, "doc_id", "left_anti")
+    )
+    new_dl.write.mode("append").parquet(dl_path)
+    _clear_pending(index_path)
+    commit_snapshot(index_path, "partial_refresh",
+                    {"shards": shards, "stale_stats": True})
+    return idx

@@ -547,11 +547,14 @@ WHERE (in_cap AND gn <= 40) OR ((NOT in_cap) AND gn <= greatest(40 - nd, 0))
 
 def q_docpart_search_topk(spark, sf_dir):
     """Same top-k through the doc-partitioned layout (per-bucket WAND on
-    executors, plans/docpart.search_docpart)."""
-    from alexandria_spark.plans.docpart import search_docpart
+    executors), served WARM through DocPartEngine's pinned block cache."""
+    from alexandria_spark.plans.docpart import DocPartEngine
 
     idx = _suite_docpart(spark, sf_dir)
-    r = search_docpart(spark, idx, " ".join(Q_AND), mode="and", k=40, cfg=_IDX_CFG)
+    key = ("docpart_engine", sf_dir)
+    if key not in _IDX_CACHE:
+        _IDX_CACHE[key] = DocPartEngine(spark, idx, _IDX_CFG)
+    r = _IDX_CACHE[key].search(" ".join(Q_AND), mode="and", k=40)
     r = r.select("doc_id", _r4(F.col("score")).alias("score"))
     return r.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
 

@@ -239,6 +239,38 @@ def test_docpart_rank_identity(spark, synth, tmp_path_factory):
         assert np.allclose([s for _, s in got], [s for _, s in exp], rtol=1e-9), (q, mode)
 
 
+def test_docpart_engine_warm_serving(spark, synth, tmp_path_factory):
+    """DocPartEngine must serve from the pinned cache (InMemoryTableScan in
+    the plan, no parquet FileScan) and stay rank-identical to the cold
+    search_docpart path."""
+    from alexandria_spark.plans.docpart import (
+        DocPartEngine,
+        build_docpart_index,
+        search_docpart,
+    )
+
+    _, oracle = synth
+    pdf = synth_corpus_pdf(n_docs=150, seed=42)
+    docs = with_doc_ids(spark.createDataFrame(pdf))
+    path = str(tmp_path_factory.mktemp("idx_doc_warm"))
+    dp = build_docpart_index(spark, docs, path, CFG, n_buckets=6, text_col="content")
+    eng = DocPartEngine(spark, dp, CFG)
+    try:
+        for q, mode in QUERIES:
+            warm = eng.search(q, mode, k=10)
+            plan = warm._jdf.queryExecution().executedPlan().toString()
+            assert "InMemoryTableScan" in plan
+            exp = oracle.search(q, mode, k=10)
+            got = [(r.doc_id, r.score) for r in warm.collect()]
+            assert [d for d, _ in got] == [d for d, _ in exp], (q, mode)
+            assert np.allclose([s for _, s in got], [s for _, s in exp], rtol=1e-9)
+            cold = [(r.doc_id, r.score)
+                    for r in search_docpart(spark, dp, q, mode, k=10).collect()]
+            assert got == cold, (q, mode)
+    finally:
+        eng.unpersist()
+
+
 def test_decoded_postings_iteration(spark, micro_index):
     from alexandria_spark.functions.hashing import i64_hash64
 

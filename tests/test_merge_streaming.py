@@ -7,7 +7,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from alexandria_spark.config import EngineConfig
-from alexandria_spark.plans.build import build_index, with_doc_ids
+from alexandria_spark.plans.build import Index, build_index, with_doc_ids
 from alexandria_spark.plans.merge import merge_indexes
 from alexandria_spark.plans.query import LocalIndex
 from alexandria_spark.sources.tables import synth_corpus_pdf
@@ -108,3 +108,72 @@ def test_merge_sums_duplicate_postings(spark, tmp_path):
     assert all(double[k] == 2 * v for k, v in single.items())
     # doc count unchanged (same docs, postings combined)
     assert merged.meta()["n_docs"] == idx_a.meta()["n_docs"]
+
+
+def test_partial_refresh_reblocks_only_touched_shards(spark, tmp_path):
+    """An append whose terms land in ONE shard must rewrite only that
+    shard's postings partition (file-level diff), serve the new doc, leave
+    every other shard's files byte-identical, and converge to the clean
+    batch build after the next full refresh."""
+    import numpy as np
+
+    from alexandria_spark.functions.hashing import i64_hash64
+    from alexandria_spark.streaming.incremental import pending_shards
+
+    docs = _corpus(spark, 9, 60, 0).select("doc_id", F.col("content").alias("text"))
+    in_dir = str(tmp_path / "incoming")
+    docs.coalesce(1).write.mode("append").parquet(in_dir)
+    idx_path = str(tmp_path / "idx")
+    ingest_stream(spark, in_dir, idx_path, docs.schema, CFG)
+    refresh_index(spark, idx_path, CFG, mode="full")
+
+    def file_state(root):
+        out = {}
+        for r, _d, fs in os.walk(root):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    p = os.path.join(r, f)
+                    out[os.path.relpath(p, root)] = os.path.getsize(p)
+        return out
+
+    postings_root = os.path.join(idx_path, "postings")
+    before = file_state(postings_root)
+
+    # one new doc whose single term pins the touched-shard set to one shard
+    word = "zzzuniqueword"
+    shard = int(
+        np.int64(i64_hash64(word)).astype(np.uint64) % np.uint64(CFG.num_shards)
+    )
+    new_doc = spark.createDataFrame(
+        [(10_000_000, f"{word} {word} {word}")], ["doc_id", "text"]
+    )
+    new_doc.coalesce(1).write.mode("append").parquet(in_dir)
+    ingest_stream(spark, in_dir, idx_path, docs.schema, CFG)
+    assert pending_shards(idx_path) == [shard]
+
+    idx = refresh_index(spark, idx_path, CFG, mode="partial")
+    assert pending_shards(idx_path) == []  # consumed
+
+    after = file_state(postings_root)
+    prefix = f"wave={shard % CFG.build_waves}/shard={shard}/"
+    for rel, size in before.items():
+        if not rel.startswith(prefix):
+            assert after.get(rel) == size, f"untouched file changed: {rel}"
+    assert any(rel.startswith(prefix) for rel in after)
+
+    # the new doc is served; doc_lengths gained exactly its row
+    local = LocalIndex(spark, idx, CFG)
+    assert [d for d, _ in local.search(word, "or", 5)] == [10_000_000]
+    dl = spark.read.parquet(os.path.join(idx_path, "doc_lengths"))
+    assert dl.where(F.col("doc_id") == 10_000_000).collect()[0]["doc_len"] == 3
+
+    # a second partial refresh with nothing pending is a no-op
+    refresh_index(spark, idx_path, CFG, mode="partial")
+    assert file_state(postings_root) == after
+
+    # full refresh re-anchors global stats == clean batch build
+    refresh_index(spark, idx_path, CFG, mode="full")
+    batch = build_index(
+        spark, docs.unionByName(new_doc), str(tmp_path / "batch"), CFG
+    )
+    assert _postings_set(spark, Index(idx_path)) == _postings_set(spark, batch)

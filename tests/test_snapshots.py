@@ -75,3 +75,61 @@ def test_rebuild_advances_history(spark, tmp_path):
     pdf = read_table(spark, idx.path, "postings").toPandas()
     dec = decode_blocks(pdf)
     assert not set(victims) & set(dec["doc_id"].tolist())
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    """After rebuilds create superseded files, expire must delete exactly
+    the files referenced only by expired snapshots: orphans gone, HEAD and
+    retained history still read, expired ids no longer loadable."""
+    from alexandria_spark.plans.merge import rebuild_from_term_doc
+    from alexandria_spark.plans.snapshots import expire_snapshots
+
+    docs = with_doc_ids(synth_corpus(spark, 40, seed=31))
+    idx = build_index(spark, docs, str(tmp_path / "idx"), CFG,
+                      text_col="content", materialize_stage1=True)
+    old_head = head_snapshot_id(idx.path)
+    old_files = {
+        f["path"] for f in load_snapshot(idx.path)["tables"]["postings"]["files"]
+    }
+
+    # two rebuilds → two newer snapshots with fresh postings files
+    td = spark.read.parquet(os.path.join(idx.path, "term_doc"))
+    rebuild_from_term_doc(spark, td, idx.path, CFG, run_id="r1")
+    rebuild_from_term_doc(spark, td, idx.path, CFG, run_id="r2")
+    assert len(history(idx.path)) >= 3
+
+    # simulate a crashed rebuild: a staging dir the writer never swapped in
+    stray = os.path.join(idx.path, "postings_rebuilding")
+    os.makedirs(stray, exist_ok=True)
+    open(os.path.join(stray, "part-junk.parquet"), "w").close()
+
+    res = expire_snapshots(idx.path, keep_last=1)
+    assert old_head in res["expired"]
+    assert head_snapshot_id(idx.path) in res["retained"]
+    assert "postings_rebuilding" in res["leftover_dirs"]
+    assert not os.path.exists(stray)
+
+    # superseded postings files are physically gone (retired by the
+    # rebuild's atomic swap; expire confirms none linger)
+    live_files = {
+        f["path"] for f in load_snapshot(idx.path)["tables"]["postings"]["files"]
+    }
+    assert old_files - live_files  # the rebuild really did retire files
+    for rel in old_files - live_files:
+        assert not os.path.exists(os.path.join(idx.path, "postings", rel)), rel
+
+    # HEAD (pinned read AND live read) still serves
+    assert read_table(spark, idx.path, "postings").count() > 0
+    assert sorted(map(tuple, idx.postings(spark).collect())) == sorted(
+        map(tuple, read_table(spark, idx.path, "postings").collect())
+    )
+
+    # expired history is unloadable; retained history intact
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        load_snapshot(idx.path, old_head)
+    assert [r["snapshot_id"] for r in history(idx.path)] == res["retained"]
+
+    # idempotent: nothing more to delete on a second run
+    assert expire_snapshots(idx.path, keep_last=1)["deleted_files"] == 0

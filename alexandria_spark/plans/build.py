@@ -556,8 +556,10 @@ def build_index(
             agg = stats_src.groupBy("kind", "key").agg(F.sum("val").alias("val"))
         # one job: fetch the (tiny) stats to the driver; all derived tables
         # are then local pyarrow writes — no further Spark jobs. Falls back
-        # to distributed writes past the size gate (huge corpora).
-        gate = 20_000_000
+        # to distributed writes past the size gate (huge corpora). Gate
+        # sized so the worst-case driver spike stays ~0.2 GB on an 8 GB
+        # driver heap (~24 bytes/row in Arrow).
+        gate = 8_000_000
         pdf = agg.limit(gate + 1).toPandas()
         if len(pdf) > gate:
             stats_df = agg.persist()

@@ -44,6 +44,11 @@ def _cfg(cpus: int, waves: int = 2):
         build_waves=waves,
         block_size=4096,
         max_postings_per_salt=65536,
+        # serving needs only the precomputed scores; tf is for re-scoring
+        # paths (whole-index transform / merge), so at scale the build
+        # default drops it — ~20% fewer shuffled bytes per posting on this
+        # 28-byte row, which is what the bandwidth-capped 8->32 point needs
+        keep_tf=False,
     )
 
 
@@ -147,6 +152,27 @@ def main() -> None:
             qe.search(q, mode, 10).collect()
             warm.append(time.time() - t0)
             queries_sec[name + "_dist_warm"] = round(warm[-1], 3)
+
+        # doc-partitioned layout: build once, serve warm via DocPartEngine
+        from alexandria_spark.plans.docpart import DocPartEngine, build_docpart_index
+        from alexandria_spark.sources.tables import documents as _documents
+
+        docs_df = (spark.read.parquet(sf_dir)
+                   if sf_dir.endswith(".parquet")
+                   or os.path.exists(os.path.join(sf_dir, "_SUCCESS"))
+                   else _documents(spark, sf_dir))
+        t0 = time.time()
+        dp = build_docpart_index(spark, docs_df, os.path.join(tmp, "idx_dp"),
+                                 _cfg(cpus))
+        queries_sec["build_docpart"] = round(time.time() - t0, 3)
+        dpe = DocPartEngine(spark, dp, _cfg(cpus))
+        dwarm = []
+        for name, q, mode in QUERIES[:5]:
+            dpe.search(q, mode, 10).collect()  # warmup
+            t0 = time.time()
+            dpe.search(q, mode, 10).collect()
+            dwarm.append(time.time() - t0)
+            queries_sec[name + "_docpart_warm"] = round(dwarm[-1], 3)
         spark.stop()
 
         out["latency"] = {
@@ -155,6 +181,7 @@ def main() -> None:
             "max_query_ms": round(max(lat_ms), 3),
             "dist_cold_p50_sec": round(statistics.median(dist), 3),
             "dist_warm_p50_sec": round(statistics.median(warm), 3),
+            "docpart_warm_p50_sec": round(statistics.median(dwarm), 3),
         }
     except Exception as exc:  # noqa: BLE001 — report, don't crash the bench
         out["error_build_latency"] = repr(exc)[:500]

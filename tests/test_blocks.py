@@ -134,3 +134,57 @@ def test_large_hot_set_uses_broadcast_join(spark, tmp_path, monkeypatch):
     a = sorted(map(tuple, lit.postings(spark).drop("wave").collect()))
     b = sorted(map(tuple, bc.postings(spark).drop("wave").collect()))
     assert a == b
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=3),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=5),        # term_id
+            st.integers(min_value=0, max_value=2),          # salt
+            st.integers(min_value=0, max_value=2**64 - 1),  # unsigned doc
+            st.integers(min_value=1, max_value=7),          # tf
+        ),
+        max_size=60,
+        unique_by=lambda r: (r[0], r[1], r[2]),
+    ),
+)
+def test_block_roundtrip_adversarial_boundaries(block_size, rows):
+    """Tiny block sizes force doc-id deltas to straddle block and
+    (term, salt) group boundaries in every combination — including u64
+    extremes around the sign boundary — and the decode must reproduce the
+    exact posting multiset with correct per-block metadata."""
+    if not rows:
+        return
+    pdf = pd.DataFrame(rows, columns=["term_id", "salt", "doc_u", "tf"])
+    pdf["doc_id"] = pdf["doc_u"].astype(np.uint64).to_numpy().view(np.int64)
+    pdf["score"] = (pdf["tf"] / 7.0).astype(np.float32)
+    order = np.lexsort((
+        pdf["doc_u"].astype(np.uint64).to_numpy(),
+        pdf["salt"].to_numpy(),
+        pdf["term_id"].to_numpy(),
+    ))
+    pdf = pdf.iloc[order].reset_index(drop=True)[
+        ["term_id", "salt", "doc_id", "score", "tf"]
+    ]
+    blocks = build_blocks(pdf, block_size=block_size)
+    # every block obeys the size cap and its metadata matches its payload
+    assert (blocks["n"] <= block_size).all()
+    dec = decode_blocks(blocks, want_tf=True)
+    dec = dec.assign(salt=np.repeat(blocks["salt"].to_numpy(),
+                                    blocks["n"].to_numpy()))
+    got = sorted(map(
+        tuple, dec[["term_id", "salt", "doc_id", "score", "tf"]].to_numpy()
+    ))
+    exp = sorted(map(tuple, pdf.to_numpy()))
+    assert got == exp
+    # per-block min/max doc and max score are exact
+    ofs = 0
+    for _, b in blocks.iterrows():
+        seg = pdf.iloc[ofs : ofs + int(b["n"])]
+        seg_u = seg["doc_id"].to_numpy().view(np.uint64)
+        assert np.int64(b["min_doc"]).view(np.uint64) == seg_u.min()
+        assert np.int64(b["max_doc"]).view(np.uint64) == seg_u.max()
+        assert np.float32(b["max_score"]) == seg["score"].to_numpy(np.float32).max()
+        ofs += int(b["n"])

@@ -313,61 +313,82 @@ def impact_or_topk(spark: SparkSession, index: Index, query: str,
         for t, m in metas.items() if len(m)
     }
     ptr = {t: 0 for t in readers}
-    seen: dict[int, set] = {t: set() for t in readers}
-    acc: dict[int, float] = {}
+    # per-term decoded prefixes as array chunks — phase 1 stays fully
+    # vectorized (no per-posting Python): partial sums come from one
+    # unique+reduceat over the concatenated chunks at each stop check
+    chunks: dict[int, list[tuple[np.ndarray, np.ndarray]]] = {
+        t: [] for t in readers
+    }
     p1_read = 0
 
     def _r(t: int) -> float:
         m = metas[t]
         return float(m["max_score"].iloc[ptr[t]]) if ptr[t] < len(m) else 0.0
 
+    def _accumulate():
+        """(docs_u sorted-unique, partial sums) over all decoded chunks."""
+        parts = [c for lst in chunks.values() for c in lst]
+        if not parts:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        du = np.concatenate([p[0] for p in parts])
+        sc = np.concatenate([p[1] for p in parts])
+        order = np.argsort(du, kind="stable")
+        du, sc = du[order], sc[order]
+        uniq, starts = np.unique(du, return_index=True)
+        return uniq, np.add.reduceat(sc, starts)
+
+    n_seen_docs = 0
     while readers:
         live = [t for t in readers if ptr[t] < len(metas[t])]
         if not live:
             break
         bound = {t: _r(t) for t in live}
         u_total = sum(bound.values())
-        if len(acc) >= k:
-            vals = np.fromiter(acc.values(), dtype=np.float64)
-            theta = np.partition(vals, len(vals) - k)[len(vals) - k]
-            if theta > u_total:
-                break
+        if n_seen_docs >= k:
+            _, sums = _accumulate()
+            if len(sums) >= k:
+                theta = np.partition(sums, len(sums) - k)[len(sums) - k]
+                if theta > u_total:
+                    break
         t = max(live, key=bound.__getitem__)
         dec = decode_blocks(pd.DataFrame([readers[t].row(ptr[t])]))
         du, sc = _drop_deleted_u(
             dec["doc_id"].to_numpy().view(np.uint64),
             dec["score"].to_numpy(np.float64), deleted_u,
         )
-        st = seen[t]
-        for d, s in zip(du.view(np.int64).tolist(), sc.tolist()):
-            acc[d] = acc.get(d, 0.0) + s
-            st.add(d)
+        chunks[t].append((du, sc))
+        n_seen_docs += len(du)
         ptr[t] += 1
         p1_read += 1
 
-    if not acc:
+    docs_u_arr, a_arr = _accumulate()
+    if len(docs_u_arr) == 0:
         if _stats is not None:
             _stats.update(blocks_read_p1=p1_read, blocks_total=sum(
                 len(m) for m in metas.values()), blocks_fetched_p2=0)
         return []
 
     # candidate cut: ub(d) = a(d) + Σ residuals of terms that haven't shown d
-    resid = {t: _r(t) for t in readers}
-    docs_arr = np.fromiter(acc.keys(), dtype=np.int64)
-    a_arr = np.fromiter(acc.values(), dtype=np.float64)
     ub = a_arr.copy()
-    for t, r_t in resid.items():
+    for t in readers:
+        r_t = _r(t)
         if r_t <= 0.0:
             continue
-        in_seen = np.fromiter((d in seen[t] for d in docs_arr.tolist()),
-                              dtype=bool, count=len(docs_arr))
+        if chunks[t]:
+            seen_t = np.unique(np.concatenate([c[0] for c in chunks[t]]))
+            pos = np.minimum(np.searchsorted(seen_t, docs_u_arr),
+                             max(len(seen_t) - 1, 0))
+            in_seen = seen_t[pos] == docs_u_arr if len(seen_t) else \
+                np.zeros(len(docs_u_arr), dtype=bool)
+        else:
+            in_seen = np.zeros(len(docs_u_arr), dtype=bool)
         ub[~in_seen] += r_t
-    if len(acc) >= k:
+    if len(docs_u_arr) >= k:
         theta = np.partition(a_arr, len(a_arr) - k)[len(a_arr) - k]
         cand_mask = ub >= theta
     else:
-        cand_mask = np.ones(len(docs_arr), dtype=bool)
-    cand = docs_arr[cand_mask]
+        cand_mask = np.ones(len(docs_u_arr), dtype=bool)
+    cand = docs_u_arr[cand_mask].view(np.int64)
 
     exact, p2_blocks = _exact_scores_docsorted(spark, index, term_ids, cand, cfg)
     if _stats is not None:

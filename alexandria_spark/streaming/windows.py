@@ -160,6 +160,22 @@ def sessionize_stream(spark: SparkSession, events_stream: DataFrame,
     return q, name
 
 
+def dedup_stream(docs: DataFrame) -> DataFrame:
+    """(content_hash, dup_count, keep_doc) — exact dedup as a STATEFUL
+    STREAMING aggregation: state is one row per distinct content hash
+    (bounded by the distinct-content count, not the stream length), and
+    ``min(doc_id)``/``count(*)`` make the survivor deterministic regardless
+    of arrival order — the property a batch ``dropDuplicates`` gets for
+    free and a stream must earn. The same plan runs batch or streaming;
+    on a drained finite stream (update mode) the final state equals the
+    batch result, which is what the pytest verifies and the DuckDB oracle
+    restates."""
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.count("*").alias("dup_count"), F.min("doc_id").alias("keep_doc"))
+    )
+
+
 # ------------------------------------------------------------ suite entries
 
 def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,7 +214,17 @@ SELECT user_id,
 FROM s GROUP BY user_id, sid
 """
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_stream(load_table(spark, sf_dir, "documents"))
+
+
+SQL_STREAM_DEDUP = (
+    "SELECT md5(text) AS content_hash, count(*) AS dup_count, "
+    "min(doc_id) AS keep_doc FROM documents GROUP BY md5(text)"
+)
+
 ENTRIES = {
     "windowed_event_counts": (q_windowed_events, SQL_WINDOWED_EVENTS),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
+    "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
 }

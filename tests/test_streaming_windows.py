@@ -58,3 +58,29 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     # the withheld row per user is exactly that user's LAST session
     last = {max((r for r in batch if r[0] == u), key=lambda r: r[1]) for u in users}
     assert open_per_user == last
+
+
+def test_dedup_stream_equals_batch(spark, tmp_path):
+    """Stateful streaming dedup over two micro-batches (duplicates split
+    ACROSS batches) must converge to the batch aggregation exactly —
+    survivor choice deterministic by min(doc_id) regardless of arrival."""
+    from alexandria_spark.streaming.windows import dedup_stream
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    # split so the same content can land in different micro-batches
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.col("doc_id") % 2 != 0).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        dedup_stream(stream).writeStream.format("memory")
+        .queryName("dedup_sink").outputMode("complete")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.sql("SELECT * FROM dedup_sink").collect()))
+    exp = sorted(map(tuple, dedup_stream(docs).collect()))
+    assert got == exp
+    assert len(got) > 0

@@ -102,11 +102,13 @@ def apply_domain_link_boosts(results: DataFrame, domain_links: DataFrame,
 
 # ------------------------------------------------------------ synth links
 
-def synth_links(docs: DataFrame) -> DataFrame:
+def synth_links(docs: DataFrame, n: int | None = None) -> DataFrame:
     """Deterministic links(source_domain, target_hash, score) derived from
     the documents table (each doc emits one out-link); used by the suite
-    entries and their DuckDB oracles, which restate the same arithmetic."""
-    n = docs.count()
+    entries and their DuckDB oracles, which restate the same arithmetic.
+    Pass ``n`` (the doc count) to skip the count job when already known."""
+    if n is None:
+        n = docs.count()
     return docs.select(
         F.col("source").alias("source_domain"),
         ((F.col("doc_id") * 37 + 11) % n).alias("target_hash"),
@@ -114,9 +116,9 @@ def synth_links(docs: DataFrame) -> DataFrame:
     )
 
 
-def synth_domain_links(docs: DataFrame) -> DataFrame:
+def synth_domain_links(docs: DataFrame, n: int | None = None) -> DataFrame:
     """Domain-level links: target_domain = the linked-to doc's own domain."""
-    links = synth_links(docs)
+    links = synth_links(docs, n)
     tgt = docs.select(F.col("doc_id").alias("target_hash"),
                       F.col("source").alias("target_domain"))
     return links.join(tgt, "target_hash").select("source_domain", "target_domain", "score")
@@ -157,9 +159,18 @@ _SQL_BASE_AND = f"""
 """
 
 
+_N_CACHE: dict[str, int] = {}
+
+
+def _n_docs(docs: DataFrame, sf_dir: str) -> int:
+    if sf_dir not in _N_CACHE:
+        _N_CACHE[sf_dir] = docs.count()
+    return _N_CACHE[sf_dir]
+
+
 def q_url_link_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, docs = _base_and(spark, sf_dir)
-    boosted = apply_url_link_boosts(base, synth_links(docs))
+    boosted = apply_url_link_boosts(base, synth_links(docs, _n_docs(docs, sf_dir)))
     return boosted.select("doc_id", F.round("score", 4).alias("score"))
 
 
@@ -176,7 +187,8 @@ FROM base b LEFT JOIN bst ON bst.target_hash = b.doc_id
 def q_domain_link_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, docs = _base_and(spark, sf_dir)
     with_dom = base.join(docs.select("doc_id", "source"), "doc_id")
-    boosted = apply_domain_link_boosts(with_dom, synth_domain_links(docs))
+    boosted = apply_domain_link_boosts(
+        with_dom, synth_domain_links(docs, _n_docs(docs, sf_dir)))
     return boosted.select("doc_id", "source", F.round("score", 4).alias("score"))
 
 

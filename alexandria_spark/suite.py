@@ -499,9 +499,12 @@ def q_index_serve_full(spark, sf_dir):
     cfg = dataclasses.replace(
         _IDX_CFG, pre_result_limit=120, dedup_group_count=1, result_limit=40
     )
+    from alexandria_spark.operators.links import _n_docs
+
+    n = _n_docs(docs, sf_dir)
     return serve_full_index(
-        spark, idx, " ".join(Q_LINK_SERVE), synth_links(docs),
-        synth_domain_links(docs), store, cfg, mode="and", round_to=4,
+        spark, idx, " ".join(Q_LINK_SERVE), synth_links(docs, n),
+        synth_domain_links(docs, n), store, cfg, mode="and", round_to=4,
     )
 
 

@@ -190,3 +190,16 @@ def ngrams(words: list[str], n: int) -> list[str]:
                 break
             out.append(" ".join(words[i : i + j + 1]))
     return out
+
+
+def sanitize_utf8(col):
+    """Column expression: binary → valid-UTF-8 string, malformed byte
+    sequences replaced with U+FFFD — the reference's ``unicode::encode`` /
+    ``is_valid`` ingest guard (parser/unicode.cpp:85-116, exercised by
+    tests/test_unicode.cpp:32-40). Parquet string columns are valid UTF-8
+    by construction, so this applies only when ingesting raw ``binary``
+    payloads (e.g. scraped bytes). Runs JVM-side (``make_valid_utf8``;
+    ANSI ``decode`` is strict and would throw instead of repairing)."""
+    import pyspark.sql.functions as F
+
+    return F.make_valid_utf8(col.cast("string"))

@@ -154,3 +154,27 @@ def test_words_without_stopwords_semantics(spark):
     assert "42" in got               # multi-digit numbers are not stopwords
     assert "4" not in got
     assert got[:3] == ["quick", "brown", "fox"]
+
+
+def test_sanitize_utf8_invalid_bytes(spark):
+    """Raw binary ingest with malformed UTF-8 must yield a valid string
+    (bad sequences -> U+FFFD) whose valid parts tokenize unchanged — the
+    reference's unicode::encode guard (tests/test_unicode.cpp:32-40)."""
+    import pyspark.sql.functions as F
+
+    from alexandria_spark.functions.tokenizer import sanitize_utf8, tokenize
+
+    good = "hej jag heter josef och tillåter utf8 åäö chars$€ 是美国民主党"
+    bad = "L\xe4gg i varukorg".encode("latin-1")  # 0xE4 invalid as UTF-8
+    df = spark.createDataFrame(
+        [(1, good.encode("utf-8")), (2, bad)], ["doc_id", "raw"]
+    )
+    out = {r["doc_id"]: r["text"] for r in df.select(
+        "doc_id", sanitize_utf8(F.col("raw")).alias("text")
+    ).collect()}
+    # valid multi-byte text round-trips exactly
+    assert out[1] == good
+    # malformed byte replaced, remainder intact, result tokenizes cleanly
+    assert "�" in out[2]
+    assert out[2].endswith("gg i varukorg")
+    assert tokenize(out[2])[-2:] == ["i", "varukorg"]

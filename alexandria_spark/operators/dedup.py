@@ -129,9 +129,12 @@ def simhash16(docs: DataFrame) -> DataFrame:
     return per_doc.select("doc_id", bits.cast("bigint").alias("simhash"))
 
 
-def ngram_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
+                  digits: int | None = 4) -> DataFrame:
     """(doc_a, doc_b, jaccard) — exact shingle-set Jaccard for candidate
-    pairs (verification stage after LSH)."""
+    pairs (verification stage after LSH). ``digits=None`` returns the raw
+    IEEE-double ratio (bit-exact reproducible: pure integer arithmetic
+    until one division)."""
     sh = shingles(docs).distinct()
     a = sh.alias("sa").join(pairs, F.col("sa.doc_id") == F.col("doc_a"))
     both = a.join(
@@ -148,9 +151,16 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
         .select(
             "doc_a", "doc_b",
-            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4).alias("jaccard"),
+            _maybe_round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                digits,
+            ).alias("jaccard"),
         )
     )
+
+
+def _maybe_round(col, digits: int | None):
+    return col if digits is None else F.round(col, digits)
 
 
 # ------------------------------------------------------------ suite entries
@@ -193,6 +203,68 @@ FROM shx CROSS JOIN perms GROUP BY doc_id, perm_id
 """
 
 
+# the final SELECT of SQL_MINHASH, extended into further CTEs by the LSH and
+# jaccard oracles below (banding and verification both derive from the same
+# signature pipeline, mirroring the Spark operator composition)
+_SIG_FINAL = (
+    "SELECT doc_id, perm_id, min((a * x + b) % 2147483647) AS minh\n"
+    "FROM shx CROSS JOIN perms GROUP BY doc_id, perm_id"
+)
+
+_LSH_CTES = """, sigg AS (
+  SELECT doc_id, perm_id, min((a * x + b) % 2147483647) AS minh
+  FROM shx CROSS JOIN perms GROUP BY doc_id, perm_id
+),
+bands AS (
+  SELECT doc_id, CAST(floor(perm_id / 4.0e0) AS INT) AS band,
+         string_agg(perm_id || ':' || minh, ',' ORDER BY perm_id || ':' || minh) AS band_key
+  FROM sigg GROUP BY doc_id, CAST(floor(perm_id / 4.0e0) AS INT)
+),
+ok AS (SELECT band, band_key FROM bands GROUP BY band, band_key HAVING count(*) <= 10000),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN ok USING (band, band_key)
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+
+
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_pairs(documents(spark, sf_dir))
+
+
+SQL_LSH_CANDIDATES = SQL_MINHASH.replace(
+    _SIG_FINAL, _LSH_CTES + "\nSELECT doc_a, doc_b FROM cand"
+)
+
+
+def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed near-dup pipeline: shingle → MinHash → LSH banding →
+    exact Jaccard verification of the candidate pairs (the full
+    find-near-duplicates flow as one entry). Raw double ratio: pure integer
+    arithmetic until a single division, so it compares bit-exact."""
+    docs = documents(spark, sf_dir)
+    return ngram_jaccard(docs, lsh_candidate_pairs(docs), digits=None)
+
+
+SQL_NEAR_DUP_JACCARD = SQL_MINHASH.replace(
+    _SIG_FINAL,
+    _LSH_CTES
+    + """,
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(sb.shingle) AS inter
+  FROM cand c
+  JOIN shd sa ON sa.doc_id = c.doc_a
+  LEFT JOIN shd sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) AS jaccard
+FROM inter i JOIN sizes za ON za.doc_id = i.doc_a JOIN sizes zb ON zb.doc_id = i.doc_b""",
+)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash16(documents(spark, sf_dir))
 
@@ -216,5 +288,7 @@ FROM per_bit GROUP BY doc_id
 ENTRIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signatures": (q_minhash, SQL_MINHASH),
+    "lsh_candidates": (q_lsh_candidates, SQL_LSH_CANDIDATES),
+    "near_dup_jaccard": (q_near_dup_jaccard, SQL_NEAR_DUP_JACCARD),
     "simhash": (q_simhash, SQL_SIMHASH),
 }

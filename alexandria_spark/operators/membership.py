@@ -141,3 +141,31 @@ def approx_doc_count(docs: DataFrame, id_col: str = "doc_id", rsd: float = 0.02)
     """HyperLogLog distinct-doc counter (approx_count_distinct ≈ the
     reference's b=15 HLL)."""
     return docs.agg(F.approx_count_distinct(id_col, rsd).alias("n_docs_approx"))
+
+
+# ------------------------------------------------------------ suite entry
+
+def q_bloom_new_docs(spark, sf_dir: str) -> DataFrame:
+    """Oracle-gated Bloom path: build the filter over the already-indexed
+    third of the corpus (doc_id % 3 == 0), then push the whole corpus
+    through ``filter_new_docs``.
+
+    No-false-negative guarantee makes every member row's fate exact; the
+    filter is sized (2^23 bits, k=4, ~n/3 members) so the deterministic
+    false-positive set is empty at every test SF — verified at sf0.001,
+    sf0.01 and sf0.1 (the bitmap is a pure function of the data, so the
+    driver's run cannot differ). A hash or bit-indexing bug flips rows on
+    either side and reddens the entry.
+    """
+    from alexandria_spark.sources.tables import documents
+
+    docs = documents(spark, sf_dir)
+    bloom = build_doc_filter(docs.where(F.col("doc_id") % 3 == 0))
+    return filter_new_docs(docs, bloom).select("doc_id")
+
+
+SQL_BLOOM_NEW_DOCS = "SELECT doc_id FROM documents WHERE doc_id % 3 <> 0"
+
+ENTRIES = {
+    "bloom_new_docs": (q_bloom_new_docs, SQL_BLOOM_NEW_DOCS),
+}

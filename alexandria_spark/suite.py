@@ -26,6 +26,7 @@ from alexandria_spark.operators import (
     dedup,
     graph,
     links,
+    membership,
     multimodal,
     serving,
     similarity,
@@ -569,6 +570,35 @@ SQL_INDEX_SEARCH_OR_TOPK = SQL_PRELUDE + (
 )
 
 
+def q_merge_search_topk(spark, sf_dir):
+    """Hard-gates the partial→final merge (plans/merge.merge_indexes, the
+    reference's index_builder::merge_with analogue, index_builder.h:303-361):
+    build two DISJOINT half-corpus partial indexes, merge them, and serve
+    the same AND top-k — which must equal the whole-corpus oracle exactly
+    (scores recompute from the merged corpus stats, so rank AND score agree
+    with a from-scratch build over the union)."""
+    from alexandria_spark.plans.build import build_index
+    from alexandria_spark.plans.merge import merge_indexes
+    from alexandria_spark.plans.query import search
+
+    key = ("merged", sf_dir)
+    cfg = EngineConfig(num_shards=8, shuffle_partitions=8, build_waves=1,
+                       block_size=1024)
+    if key not in _IDX_CACHE:
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix="ax_suite_merge_")
+        docs = _docs(spark, sf_dir)
+        ia = build_index(spark, docs.where(F.col("doc_id") % 2 == 0),
+                         base + "/a", cfg, text_col="text")
+        ib = build_index(spark, docs.where(F.col("doc_id") % 2 == 1),
+                         base + "/b", cfg, text_col="text")
+        _IDX_CACHE[key] = merge_indexes(spark, [ia, ib], base + "/merged", cfg)
+    r = search(spark, _IDX_CACHE[key], " ".join(Q_AND), mode="and", k=40, cfg=cfg)
+    r = r.select("doc_id", _r4(F.col("score")).alias("score"))
+    return r.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
 ENTRIES: dict[str, tuple] = {
     "content_sha256": (q_content_sha256, SQL_CONTENT_SHA256),
     # streaming-window entries live EARLY in the sweep: round 2's driver run
@@ -599,6 +629,7 @@ ENTRIES: dict[str, tuple] = {
     "index_serve_full": (q_index_serve_full, _sql_index_serve_full()),
     "impact_single_topk": (q_impact_single_topk, SQL_IMPACT_SINGLE_TOPK),
     "impact_or_topk": (q_impact_or_topk, SQL_INDEX_SEARCH_OR_TOPK),
+    "merge_search_topk": (q_merge_search_topk, SQL_INDEX_SEARCH_TOPK),
     # training-data pipeline operators (operators/{dedup,analysis,similarity,multimodal})
     **dedup.ENTRIES,
     **analysis.ENTRIES,
@@ -608,6 +639,7 @@ ENTRIES: dict[str, tuple] = {
     **graph.ENTRIES,
     **links.ENTRIES,
     **chunking.ENTRIES,
+    **membership.ENTRIES,
 }
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
 
 from alexandria_spark.operators.dedup import md5_int60
 from alexandria_spark.operators.sql_common import SQL_PRELUDE
@@ -72,6 +73,66 @@ def train_val_split(docs: DataFrame, val_pct: int = 10,
     )
 
 
+def stratified_sample(docs: DataFrame, rates_pct: dict[str, int],
+                      group_col: str = "lang",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, <group_col>) — deterministic per-group sampling for training
+    mixture control: keep ``rates_pct[group]``% of each group's docs
+    (groups absent from the dict are dropped). The keep decision is a pure
+    md5 threshold on the salted doc id, so it is reproducible across runs,
+    engines, and the DuckDB oracle — and map-only at any scale (no shuffle,
+    no sampling state)."""
+    if not rates_pct:
+        raise ValueError("rates_pct must name at least one group")
+    bucket = md5_int60(F.concat(F.lit("samp:"), F.col(id_col).cast("string"))) % 100
+    rate = None
+    for g, pct in sorted(rates_pct.items()):
+        cond = F.when(F.col(group_col) == g, F.lit(pct))
+        rate = cond if rate is None else rate.when(F.col(group_col) == g, F.lit(pct))
+    rate = rate.otherwise(F.lit(0))
+    return docs.where(bucket < rate).select(id_col, group_col)
+
+
+def pack_sequences(chunks: DataFrame, seq_tokens: int = 256,
+                   n_shards: int = 32) -> DataFrame:
+    """(shard, seq_id, n_items, n_tokens, first_doc, last_doc) — pack token
+    chunks into fixed-budget training sequences.
+
+    Deterministic streaming pack: chunks are laid out in (doc_id, chunk_id)
+    order within a shard; each chunk's sequence is the one its starting
+    token offset falls into (``floor(offset_before / seq_tokens)``) — the
+    concat-then-cut layout GPT-style packing uses, with chunk granularity.
+    A sequence therefore holds at most ``seq_tokens + max_chunk - 1``
+    tokens; trim-to-budget happens at materialization.
+
+    Scale: the cumulative offset is a window — inherently sequential — so
+    it runs PER SHARD (doc_id-hash), never globally: n_shards independent
+    window partitions, each a single sorted pass. Sequences never cross
+    shards, so shard count scales with the cluster and no stage sees the
+    whole dataset in one task.
+    """
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = chunks.withColumn("shard", (F.col("doc_id") % n_shards).cast("int"))
+    c = c.withColumn("cum", F.sum("n_tokens").over(w))
+    c = c.withColumn(
+        "seq_id",
+        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(seq_tokens)).cast("long"),
+    )
+    return (
+        c.groupBy("shard", "seq_id")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
 # ------------------------------------------------------------ suite entries
 
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,7 +174,62 @@ SELECT doc_id,
 FROM documents
 """
 
+_MIX = {"en": 30, "zh": 80, "de": 55}  # fr/es dropped: quota mixing bites
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_sample(documents(spark, sf_dir), _MIX)
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE CAST(concat('0x', substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+      < CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 80 WHEN 'de' THEN 55 ELSE 0 END
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = chunk_documents(documents(spark, sf_dir), chunk_tokens=64, stride=48)
+    return pack_sequences(chunks, seq_tokens=256, n_shards=32)
+
+
+SQL_PACK_SEQUENCES = SQL_PRELUDE + """
+, arr AS (
+  SELECT doc_id, list(term ORDER BY pos) AS toks FROM tok GROUP BY doc_id
+),
+n AS (
+  SELECT doc_id, toks,
+         greatest(CAST(ceil((len(toks) - 64) / 48.0e0) AS BIGINT) + 1, 1) AS nc
+  FROM arr
+),
+c AS (
+  SELECT doc_id, toks, unnest(range(nc)) AS chunk_id FROM n
+),
+ch AS (
+  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         len(toks[(chunk_id * 48 + 1):(chunk_id * 48 + 64)])::BIGINT AS n_tokens
+  FROM c
+),
+sh AS (
+  SELECT doc_id, chunk_id, n_tokens, CAST(doc_id % 32 AS INTEGER) AS shard
+  FROM ch
+),
+cum AS (
+  SELECT shard, doc_id, chunk_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM sh
+)
+SELECT shard,
+       CAST(floor((cum - n_tokens) / 256.0e0) AS BIGINT) AS seq_id,
+       count(*) AS n_items, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM cum GROUP BY shard, CAST(floor((cum - n_tokens) / 256.0e0) AS BIGINT)
+"""
+
 ENTRIES = {
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
 }

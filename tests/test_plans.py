@@ -183,3 +183,31 @@ def test_bucketed_doc_store_join_has_no_store_side_shuffle(spark, tmp_path):
         assert plan.count("Exchange") == 1, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_lsh_and_pack_plan_posture(spark):
+    """Scale posture of the dataset-prep pipelines: LSH candidate pairing
+    must be a key-equi self-join on (band, band_key) — never a cartesian
+    product — and sequence packing must window per shard (its one window
+    Exchange hash-partitions on the shard key, no single-partition window)."""
+    from alexandria_spark.operators.chunking import chunk_documents, pack_sequences
+    from alexandria_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3} shared common tail") for i in range(12)],
+        ["doc_id", "text"],
+    )
+    plan = _plan(lsh_candidate_pairs(docs))
+    # no CartesianProduct anywhere; the only nested-loop join allowed is the
+    # broadcast-tiny 8-row perms cross join inside minhash_signatures
+    assert "CartesianProduct" not in plan, plan
+    # the doc-pair self-join is key-equi on (band, band_key)
+    assert any(f"{j} [band" in plan for j in
+               ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")), plan
+
+    packed = pack_sequences(chunk_documents(docs, chunk_tokens=4), seq_tokens=16, n_shards=8)
+    plan = _plan(packed)
+    assert "Window" in plan
+    # the window partitions by the shard column, not a global sort
+    assert "hashpartitioning(shard" in plan, plan
+    assert "SinglePartition" not in plan.split("Window")[0], plan

@@ -164,7 +164,8 @@ def serve_full_index(spark: SparkSession, index, query: str,
                      links: DataFrame, domain_links: DataFrame,
                      store: DataFrame, cfg, mode: str = "and",
                      snippet_len: int = 140,
-                     round_to: int | None = None) -> DataFrame:
+                     round_to: int | None = None,
+                     searcher=None) -> DataFrame:
     """The reference's COMPLETE ``index_manager::find`` lifecycle
     (index_manager.cpp:249-294) composed over the PERSISTED block index:
 
@@ -185,6 +186,11 @@ def serve_full_index(spark: SparkSession, index, query: str,
     boundary rows (the reference's f32 score sums carry their own
     quantization; exact-float rank identity across engines needs a common
     grid once transcendental boosts enter the score).
+
+    ``searcher`` swaps the candidate source: a ``(query, mode) -> DataFrame``
+    callable returning at least (doc_id, score) for EVERY match — e.g.
+    ``lambda q, m: engine.search(q, m, k=None)`` to serve the same pipeline
+    over a warm doc-partitioned engine.
     """
     from alexandria_spark.operators.links import (
         apply_domain_link_boosts,
@@ -193,7 +199,11 @@ def serve_full_index(spark: SparkSession, index, query: str,
     from alexandria_spark.plans.query import search
     from alexandria_spark.sources.docstore import decorate_from_store
 
-    cands = search(spark, index, query, mode=mode, k=None, cfg=cfg).drop("n_terms")
+    if searcher is None:
+        cands = search(spark, index, query, mode=mode, k=None, cfg=cfg)
+    else:
+        cands = searcher(query, mode)
+    cands = cands.drop("n_terms")
     boosted = apply_url_link_boosts(cands, links)
     # the result's own domain drives both the domain boost and the dedup;
     # the store join is bucket-co-located (no store-side shuffle)

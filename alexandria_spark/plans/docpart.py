@@ -165,15 +165,27 @@ def search_docpart(
     """One-job distributed WAND: per-bucket exact top-k on executors via the
     shared kernel, global TakeOrdered merge. Returns (doc_id, score, n_terms).
 
+    ``k=None`` returns EVERY match unranked (AND mode only — the OR kernel's
+    quit/continue needs a finite k): the candidate feed for a serve pipeline
+    whose boosts re-rank before truncation.
+
     ``_blocks`` lets ``DocPartEngine`` substitute its cached scan."""
     cfg = cfg or index.config()
     term_ids = _query_term_ids(query, mode, cfg)
     if not term_ids:
         return spark.createDataFrame([], RESULT_SCHEMA)
     source = _blocks if _blocks is not None else index.postings(spark)
+    if "bucket" not in source.columns:
+        raise FileNotFoundError(
+            f"no doc-partitioned layout under {index.postings_path!r} — build "
+            f"one with build_docpart_index (CLI: build_submit.py --layout "
+            f"docpart|both), or query the term layout with engine dist/bmw"
+        )
     blocks = source.where(F.col("term_id").isin(term_ids))
     nt = len(term_ids)
     kernel_mode = "and" if mode == "and" else "or"
+    if k is None and kernel_mode == "or":
+        raise ValueError("k=None (full candidate set) requires mode='and'")
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         terms = _term_map(pdf)
@@ -199,7 +211,8 @@ def search_docpart(
     per = blocks.groupBy("bucket").applyInPandas(per_bucket, RESULT_SCHEMA)
     from alexandria_spark.plans.delete import filter_deleted
 
-    return top_k(filter_deleted(spark, index, per), k)
+    live = filter_deleted(spark, index, per)
+    return live if k is None else top_k(live, k)
 
 
 class DocPartEngine:

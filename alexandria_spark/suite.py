@@ -512,6 +512,37 @@ def q_index_serve_full(spark, sf_dir):
 Q_LINK_SERVE = ["table", "hash"]
 
 
+def q_docpart_serve_full(spark, sf_dir):
+    """The SAME composed find pipeline, candidates fed by the warm
+    doc-partitioned engine (DocPartEngine, k=None full AND candidate set)
+    instead of the term-sharded block index — must produce byte-identical
+    serving output (one corpus, two physical layouts)."""
+    import dataclasses
+
+    from alexandria_spark.operators.links import _n_docs, synth_domain_links, synth_links
+    from alexandria_spark.operators.serving import serve_full_index
+    from alexandria_spark.plans.docpart import DocPartEngine
+    from alexandria_spark.sources.docstore import load_doc_store
+
+    q_index_serve_full(spark, sf_dir)  # ensures store + caches exist
+    dp = _suite_docpart(spark, sf_dir)
+    ekey = ("docpart_engine", sf_dir)
+    if ekey not in _IDX_CACHE:
+        _IDX_CACHE[ekey] = DocPartEngine(spark, dp, _IDX_CFG)
+    eng = _IDX_CACHE[ekey]
+    docs = _docs(spark, sf_dir)
+    store = load_doc_store(spark, _IDX_CACHE[("store", sf_dir)])
+    cfg = dataclasses.replace(
+        _IDX_CFG, pre_result_limit=120, dedup_group_count=1, result_limit=40
+    )
+    n = _n_docs(docs, sf_dir)
+    return serve_full_index(
+        spark, dp, " ".join(Q_LINK_SERVE), synth_links(docs, n),
+        synth_domain_links(docs, n), store, cfg, mode="and", round_to=4,
+        searcher=lambda q, m: eng.search(q, m, k=None),
+    )
+
+
 def _sql_index_serve_full():
     from alexandria_spark.operators.links import _SQL_LINKS
 
@@ -627,6 +658,7 @@ ENTRIES: dict[str, tuple] = {
     "index_doc_lengths": (q_index_doc_lengths, SQL_INDEX_DOC_LENGTHS),
     "index_term_stats": (q_index_term_stats, SQL_INDEX_TERM_STATS),
     "index_serve_full": (q_index_serve_full, _sql_index_serve_full()),
+    "docpart_serve_full": (q_docpart_serve_full, _sql_index_serve_full()),
     "impact_single_topk": (q_impact_single_topk, SQL_IMPACT_SINGLE_TOPK),
     "impact_or_topk": (q_impact_or_topk, SQL_INDEX_SEARCH_OR_TOPK),
     "merge_search_topk": (q_merge_search_topk, SQL_INDEX_SEARCH_TOPK),

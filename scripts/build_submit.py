@@ -35,6 +35,10 @@ def parse_args():
     p.add_argument("--from-repo-path", action="store_true",
                    help="input has (repo,path,commit,lang,content): derive "
                         "doc_id = murmur2(repo/path) and sha256 column")
+    p.add_argument("--layout", default="term", choices=["term", "docpart", "both"],
+                   help="which physical layout(s) to build: the term-sharded "
+                        "block index, the doc-partitioned per-bucket layout "
+                        "(--engine docpart at query time), or both")
     return p.parse_args()
 
 
@@ -59,13 +63,21 @@ def main():
         id_col, text_col = "doc_id", "content"
     n_docs = docs.count()
     t0 = time.time()
-    idx = build_index(
-        spark, docs, args.index, cfg, id_col=id_col, text_col=text_col,
-        materialize_stage1=not args.no_materialize,
-    )
+    if args.layout in ("term", "both"):
+        idx = build_index(
+            spark, docs, args.index, cfg, id_col=id_col, text_col=text_col,
+            materialize_stage1=not args.no_materialize,
+        )
+    if args.layout in ("docpart", "both"):
+        from alexandria_spark.plans.docpart import build_docpart_index
+
+        idx = build_docpart_index(
+            spark, docs, args.index, cfg, id_col=id_col, text_col=text_col,
+        )
     dt = time.time() - t0
     print(json.dumps({
-        "index": args.index, "n_docs": n_docs, "build_sec": round(dt, 2),
+        "index": args.index, "n_docs": n_docs, "layout": args.layout,
+        "build_sec": round(dt, 2),
         "docs_per_sec": round(n_docs / dt, 1),
         "checkpoints": [r["unit"] for r in idx.checkpoints()],
     }))

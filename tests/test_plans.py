@@ -211,3 +211,28 @@ def test_lsh_and_pack_plan_posture(spark):
     # the window partitions by the shard column, not a global sort
     assert "hashpartitioning(shard" in plan, plan
     assert "SinglePartition" not in plan.split("Window")[0], plan
+
+
+def test_docpart_guard_rails(spark, idx, tmp_path):
+    """search_docpart must refuse (a) a path with no doc-partitioned layout
+    (clear FileNotFoundError, not an unresolved-column Catalyst error) and
+    (b) k=None in OR mode (the OR kernel needs a finite k)."""
+    from alexandria_spark.plans.docpart import (
+        DocPartitionedIndex,
+        build_docpart_index,
+        search_docpart,
+    )
+
+    with pytest.raises(FileNotFoundError, match="doc-partitioned layout"):
+        search_docpart(spark, DocPartitionedIndex(idx.path), "merge", "and", 5)
+
+    docs = with_doc_ids(synth_corpus(spark, 40, seed=23))
+    dp = build_docpart_index(spark, docs, str(tmp_path / "dp"), CFG,
+                             text_col="content")
+    with pytest.raises(ValueError, match="mode='and'"):
+        search_docpart(spark, dp, "merge index", "or", None)
+
+    # k=None AND returns the full unranked candidate set
+    full = search_docpart(spark, dp, "merge", "and", None).count()
+    top = search_docpart(spark, dp, "merge", "and", 5).count()
+    assert top == min(5, full) and full >= top

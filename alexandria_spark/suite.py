@@ -445,6 +445,41 @@ def q_index_term_stats(spark, sf_dir):
 SQL_INDEX_TERM_STATS = SQL_PRELUDE + "SELECT term, df FROM dfreq"
 
 
+def q_posting_iteration(spark, sf_dir):
+    """Gates the full posting-iteration surface (plans/build.decoded_postings,
+    the reference's for_each, sharded.h:171-188): every (term, doc) posting
+    decoded from the persisted delta+varint blocks, aggregated per term with
+    ORDER-INDEPENDENT stats (count / integer tf sum / f32 max) so float
+    summation order cannot blur the comparison. A codec or iteration bug
+    that drops, duplicates, or mis-decodes any posting shifts a count or max
+    and reddens the entry."""
+    import os
+
+    from alexandria_spark.plans.build import tokenize_docs
+
+    idx = _suite_index(spark, sf_dir)
+    decoded = idx.decoded_postings(spark)
+    per_term = decoded.groupBy("term_id").agg(
+        F.count("*").alias("n_postings"),
+        F.sum("tf").cast("long").alias("sum_tf"),
+        F.max(F.col("score").cast("double")).alias("max_score"),
+    )
+    vocab = (
+        tokenize_docs(_docs(spark, sf_dir), CFG, keep_term=True)
+        .select("term", "term_id").distinct()
+    )
+    return vocab.join(per_term, "term_id").select(
+        "term", "n_postings", "sum_tf", "max_score"
+    )
+
+
+SQL_POSTING_ITERATION = SQL_PRELUDE + """
+SELECT term, count(*) AS n_postings, CAST(sum(tf) AS BIGINT) AS sum_tf,
+       max(CAST(score AS DOUBLE)) AS max_score
+FROM scored GROUP BY term
+"""
+
+
 def q_local_index_topk(spark, sf_dir):
     """Same top-k through the RAM-pinned low-latency serving path
     (plans/query.LocalIndex, term-at-a-time quit/continue with block-max)."""
@@ -657,6 +692,7 @@ ENTRIES: dict[str, tuple] = {
     "local_index_topk": (q_local_index_topk, SQL_INDEX_SEARCH_TOPK),
     "index_doc_lengths": (q_index_doc_lengths, SQL_INDEX_DOC_LENGTHS),
     "index_term_stats": (q_index_term_stats, SQL_INDEX_TERM_STATS),
+    "posting_iteration": (q_posting_iteration, SQL_POSTING_ITERATION),
     "index_serve_full": (q_index_serve_full, _sql_index_serve_full()),
     "docpart_serve_full": (q_docpart_serve_full, _sql_index_serve_full()),
     "impact_single_topk": (q_impact_single_topk, SQL_IMPACT_SINGLE_TOPK),

@@ -127,15 +127,16 @@ def build_impact_postings(spark: SparkSession, index: Index,
 
 
 def _impact_meta(spark: SparkSession, index: Index, tid: int,
-                 num_shards: int) -> pd.DataFrame:
+                 num_shards: int, _blocks=None) -> pd.DataFrame:
     """Metadata-only scan of a term's impact blocks, sorted by descending
     block max (the merged impact order across salts). Column pruning keeps
-    the payload byte columns out of the parquet read entirely."""
+    the payload byte columns out of the parquet read entirely.
+    ``_blocks`` substitutes ImpactEngine's cached scan."""
     shard = _shard_of(tid, num_shards)
     path = os.path.join(index.path, "postings_impact")
+    src = _blocks if _blocks is not None else spark.read.parquet(path)
     meta = (
-        spark.read.parquet(path)
-        .where((F.col("shard") == shard) & (F.col("term_id") == tid))
+        src.where((F.col("shard") == shard) & (F.col("term_id") == tid))
         .select("salt", "block_id", "n", "max_score")
         .toPandas()
     )
@@ -153,9 +154,11 @@ class _ImpactBlockReader:
     """
 
     def __init__(self, spark: SparkSession, index: Index, tid: int,
-                 meta: pd.DataFrame, num_shards: int, first_batch: int):
+                 meta: pd.DataFrame, num_shards: int, first_batch: int,
+                 _blocks=None):
         self.spark = spark
         self.path = os.path.join(index.path, "postings_impact")
+        self._blocks = _blocks
         self.shard = _shard_of(tid, num_shards)
         self.tid = tid
         self.meta = meta
@@ -176,9 +179,10 @@ class _ImpactBlockReader:
         keys = (
             sel["salt"].astype("int64") * (1 << 31) + sel["block_id"].astype("int64")
         ).tolist()
+        src = (self._blocks if self._blocks is not None
+               else self.spark.read.parquet(self.path))
         pdf = (
-            self.spark.read.parquet(self.path)
-            .where((F.col("shard") == self.shard) & (F.col("term_id") == self.tid))
+            src.where((F.col("shard") == self.shard) & (F.col("term_id") == self.tid))
             .where(
                 (F.col("salt").cast("long") * (1 << 31)
                  + F.col("block_id").cast("long")).isin(keys)
@@ -217,7 +221,8 @@ def _drop_deleted_u(docs_u: np.ndarray, scores: np.ndarray,
 
 def impact_single_topk(spark: SparkSession, index: Index, query: str,
                        k: int = 10, cfg: EngineConfig | None = None,
-                       _stats: dict | None = None) -> list[tuple[int, float]]:
+                       _stats: dict | None = None,
+                       _blocks=None) -> list[tuple[int, float]]:
     """Exact single-term top-k over the impact table: decode blocks in
     impact order, stop when the kth collected score >= the next block's
     max_score (ties included via >=... strictly: stop when kth > next max,
@@ -232,7 +237,7 @@ def impact_single_topk(spark: SparkSession, index: Index, query: str,
     if len(term_ids) != 1:
         raise ValueError("impact_single_topk serves single-term queries")
     tid = term_ids[0]
-    meta = _impact_meta(spark, index, tid, cfg.num_shards)
+    meta = _impact_meta(spark, index, tid, cfg.num_shards, _blocks)
     if len(meta) == 0:
         if _stats is not None:
             _stats.update(blocks_read=0, blocks_total=0,
@@ -243,7 +248,7 @@ def impact_single_topk(spark: SparkSession, index: Index, query: str,
     cum = meta["n"].to_numpy(np.int64).cumsum()
     first = int(np.searchsorted(cum, k) + 1)
     reader = _ImpactBlockReader(spark, index, tid, meta, cfg.num_shards,
-                                min(first, len(meta)))
+                                min(first, len(meta)), _blocks)
     maxs = meta["max_score"].to_numpy(np.float32)
     docs: list[np.ndarray] = []
     scores: list[np.ndarray] = []
@@ -279,7 +284,8 @@ def impact_single_topk(spark: SparkSession, index: Index, query: str,
 
 def impact_or_topk(spark: SparkSession, index: Index, query: str,
                    k: int = 10, cfg: EngineConfig | None = None,
-                   _stats: dict | None = None) -> list[tuple[int, float]]:
+                   _stats: dict | None = None, _blocks=None,
+                   _doc_blocks=None) -> list[tuple[int, float]]:
     """Exact multi-term disjunctive top-k over the impact layout: TAAT with
     per-block upper bounds (the reference's score-ordered serving,
     sharded_builder.h:216-228, strengthened to per-block bounds).
@@ -304,12 +310,14 @@ def impact_or_topk(spark: SparkSession, index: Index, query: str,
     if not term_ids:
         return []
     if len(term_ids) == 1:
-        return impact_single_topk(spark, index, query, k, cfg, _stats)
+        return impact_single_topk(spark, index, query, k, cfg, _stats, _blocks)
     deleted_u = _deleted_u(spark, index)
 
-    metas = {t: _impact_meta(spark, index, t, cfg.num_shards) for t in term_ids}
+    metas = {t: _impact_meta(spark, index, t, cfg.num_shards, _blocks)
+             for t in term_ids}
     readers = {
-        t: _ImpactBlockReader(spark, index, t, m, cfg.num_shards, first_batch=2)
+        t: _ImpactBlockReader(spark, index, t, m, cfg.num_shards,
+                              first_batch=2, _blocks=_blocks)
         for t, m in metas.items() if len(m)
     }
     ptr = {t: 0 for t in readers}
@@ -390,7 +398,8 @@ def impact_or_topk(spark: SparkSession, index: Index, query: str,
         cand_mask = np.ones(len(docs_u_arr), dtype=bool)
     cand = docs_u_arr[cand_mask].view(np.int64)
 
-    exact, p2_blocks = _exact_scores_docsorted(spark, index, term_ids, cand, cfg)
+    exact, p2_blocks = _exact_scores_docsorted(spark, index, term_ids, cand,
+                                               cfg, _doc_blocks)
     if _stats is not None:
         _stats.update(
             blocks_read_p1=p1_read,
@@ -406,13 +415,16 @@ def impact_or_topk(spark: SparkSession, index: Index, query: str,
 
 def _exact_scores_docsorted(spark: SparkSession, index: Index,
                             term_ids: list[int], cand: np.ndarray,
-                            cfg: EngineConfig) -> tuple[dict[int, float], int]:
+                            cfg: EngineConfig,
+                            _doc_blocks=None) -> tuple[dict[int, float], int]:
     """Exact OR scores for the candidate docs from the doc-sorted postings:
     metadata-pruned (a block is read only when its unsigned doc range
     contains a candidate), one distributed job, driver receives only the
-    kept blocks' payloads filtered to candidates."""
+    kept blocks' payloads filtered to candidates.
+    ``_doc_blocks`` substitutes ImpactEngine's cached doc-sorted scan."""
     shards = sorted({_shard_of(t, cfg.num_shards) for t in term_ids})
-    blocks = index.postings(spark).where(
+    src = _doc_blocks if _doc_blocks is not None else index.postings(spark)
+    blocks = src.where(
         F.col("shard").isin(shards) & F.col("term_id").isin(list(term_ids))
     )
     meta = blocks.select("term_id", "salt", "block_id",
@@ -443,3 +455,42 @@ def _exact_scores_docsorted(spark: SparkSession, index: Index,
     uniq, starts = np.unique(dh, return_index=True)
     sums = np.add.reduceat(sh, starts)
     return dict(zip(uniq.tolist(), sums.tolist())), int(len(kept))
+
+
+class ImpactEngine:
+    """Warm serving over the impact-ordered layout — the QueryEngine /
+    DocPartEngine analogue: both the impact table and the doc-sorted
+    completion table are pinned in executor memory once, so per-query work
+    is metadata lookups + lazy payload fetches against the in-memory
+    columnar cache (no parquet IO, no re-planning). Early-termination
+    semantics and `_stats` accounting are identical to the cold paths."""
+
+    def __init__(self, spark: SparkSession, index: Index,
+                 cfg: EngineConfig | None = None, cache: bool = True):
+        self.spark = spark
+        self.index = index
+        self.cfg = cfg or index.config()
+        self.blocks = spark.read.parquet(
+            os.path.join(index.path, "postings_impact")
+        )
+        self.doc_blocks = index.postings(spark)
+        if cache:
+            self.blocks = self.blocks.cache()
+            self.blocks.count()
+            self.doc_blocks = self.doc_blocks.cache()
+            self.doc_blocks.count()
+
+    def single_topk(self, query: str, k: int = 10,
+                    _stats: dict | None = None) -> list[tuple[int, float]]:
+        return impact_single_topk(self.spark, self.index, query, k, self.cfg,
+                                  _stats, _blocks=self.blocks)
+
+    def or_topk(self, query: str, k: int = 10,
+                _stats: dict | None = None) -> list[tuple[int, float]]:
+        return impact_or_topk(self.spark, self.index, query, k, self.cfg,
+                              _stats, _blocks=self.blocks,
+                              _doc_blocks=self.doc_blocks)
+
+    def unpersist(self) -> None:
+        self.blocks.unpersist()
+        self.doc_blocks.unpersist()

@@ -368,15 +368,9 @@ def q_bmw_search_topk(spark, sf_dir):
 
 def q_impact_single_topk(spark, sf_dir):
     """Single-term top-k through the impact-ordered layout (plans/impact.py:
-    blocks decoded in descending-max order with exact early termination)."""
-    from alexandria_spark.plans.impact import build_impact_postings, impact_single_topk
-
-    idx = _suite_index(spark, sf_dir)
-    key = ("impact", sf_dir)
-    if key not in _IDX_CACHE:
-        build_impact_postings(spark, idx, _IDX_CFG)
-        _IDX_CACHE[key] = True
-    hits = impact_single_topk(spark, idx, Q_SINGLE, k=40, cfg=_IDX_CFG)
+    blocks decoded in descending-max order with exact early termination),
+    served WARM through ImpactEngine's pinned scans."""
+    hits = _suite_impact_engine(spark, sf_dir).single_topk(Q_SINGLE, k=40)
     df = spark.createDataFrame(
         [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
     )
@@ -384,18 +378,23 @@ def q_impact_single_topk(spark, sf_dir):
     return df.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
 
 
-def q_impact_or_topk(spark, sf_dir):
-    """Multi-term OR top-k through the impact-ordered layout: TAAT with
-    per-block bounds finds the candidates, one pruned doc-sorted job
-    completes their exact scores (plans/impact.impact_or_topk)."""
-    from alexandria_spark.plans.impact import build_impact_postings, impact_or_topk
+def _suite_impact_engine(spark, sf_dir):
+    from alexandria_spark.plans.impact import ImpactEngine, build_impact_postings
 
     idx = _suite_index(spark, sf_dir)
     key = ("impact", sf_dir)
     if key not in _IDX_CACHE:
         build_impact_postings(spark, idx, _IDX_CFG)
-        _IDX_CACHE[key] = True
-    hits = impact_or_topk(spark, idx, " ".join(Q_TOPK), k=40, cfg=_IDX_CFG)
+        _IDX_CACHE[key] = ImpactEngine(spark, idx, _IDX_CFG)
+    return _IDX_CACHE[key]
+
+
+def q_impact_or_topk(spark, sf_dir):
+    """Multi-term OR top-k through the impact-ordered layout: TAAT with
+    per-block bounds finds the candidates, one pruned doc-sorted job
+    completes their exact scores (plans/impact.impact_or_topk), served WARM
+    through ImpactEngine's pinned scans."""
+    hits = _suite_impact_engine(spark, sf_dir).or_topk(" ".join(Q_TOPK), k=40)
     df = spark.createDataFrame(
         [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
     )

@@ -108,3 +108,31 @@ def test_impact_or_topk_rank_identical(spark, idx):
     assert impact_or_topk(spark, idx, "zzz_absent", k=5, cfg=CFG) == []
     s1 = impact_or_topk(spark, idx, "def", k=5, cfg=CFG)
     assert s1 == impact_single_topk(spark, idx, "def", k=5, cfg=CFG)
+
+
+def test_impact_engine_warm_equals_cold(spark, idx):
+    """ImpactEngine (pinned scans) must reproduce the cold paths exactly —
+    same hits, same early-termination accounting — and its per-query block
+    reads must come from the in-memory cache, not parquet."""
+    from alexandria_spark.plans.impact import ImpactEngine, impact_or_topk
+
+    eng = ImpactEngine(spark, idx, CFG)
+    try:
+        cold_s, warm_s = {}, {}
+        cold = impact_single_topk(spark, idx, "def", k=10, cfg=CFG, _stats=cold_s)
+        warm = eng.single_topk("def", k=10, _stats=warm_s)
+        assert warm == cold
+        assert warm_s["blocks_read"] == cold_s["blocks_read"]
+
+        cold = impact_or_topk(spark, idx, "def return index", k=10, cfg=CFG)
+        warm = eng.or_topk("def return index", k=10)
+        assert warm == cold
+
+        # the warm meta scan reads the cached relation
+        meta_plan = (
+            eng.blocks.select("term_id")._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        assert "InMemoryTableScan" in meta_plan
+    finally:
+        eng.unpersist()

@@ -173,6 +173,23 @@ def main() -> None:
             dpe.search(q, mode, 10).collect()
             dwarm.append(time.time() - t0)
             queries_sec[name + "_docpart_warm"] = round(dwarm[-1], 3)
+
+        # impact-ordered layout: derive once, serve OR/single warm
+        from alexandria_spark.plans.impact import ImpactEngine, build_impact_postings
+
+        t0 = time.time()
+        build_impact_postings(spark, idx, _cfg(cpus))
+        queries_sec["build_impact"] = round(time.time() - t0, 3)
+        ie = ImpactEngine(spark, idx, _cfg(cpus))
+        iwarm = []
+        for name, q, mode in QUERIES:
+            if mode != "or":
+                continue
+            ie.or_topk(q, 10)  # warmup
+            t0 = time.time()
+            ie.or_topk(q, 10)
+            iwarm.append(time.time() - t0)
+            queries_sec[name + "_impact_warm"] = round(iwarm[-1], 3)
         spark.stop()
 
         out["latency"] = {
@@ -182,6 +199,7 @@ def main() -> None:
             "dist_cold_p50_sec": round(statistics.median(dist), 3),
             "dist_warm_p50_sec": round(statistics.median(warm), 3),
             "docpart_warm_p50_sec": round(statistics.median(dwarm), 3),
+            "impact_warm_p50_sec": round(statistics.median(iwarm), 3),
         }
     except Exception as exc:  # noqa: BLE001 — report, don't crash the bench
         out["error_build_latency"] = repr(exc)[:500]

@@ -74,12 +74,20 @@ def _impact_arrange(pdf: pd.DataFrame, block_size: int, keep_tf: bool,
 
 
 def build_impact_postings(spark: SparkSession, index: Index,
-                          cfg: EngineConfig | None = None) -> str:
+                          cfg: EngineConfig | None = None,
+                          shards: list[int] | None = None) -> str:
     """Derive the impact-ordered table from the index's doc-sorted postings
     (decode → per-(term,salt) impact re-block → parquet by shard). One
-    shuffle (re-co-locating groups), same block codec."""
+    shuffle (re-co-locating groups), same block codec.
+
+    ``shards`` re-derives ONLY those shard partitions (dynamic overwrite) —
+    the delta path for a partial refresh: terms are hash-sharded identically
+    in both tables, so a postings shard maps 1:1 to an impact shard and the
+    untouched partitions stay byte-identical."""
     cfg = cfg or index.config()
     blocks = index.postings(spark)
+    if shards is not None:
+        blocks = blocks.where(F.col("shard").isin(list(shards)))
 
     def decode_fn(batches):
         for pdf in batches:
@@ -116,13 +124,29 @@ def build_impact_postings(spark: SparkSession, index: Index,
         )
 
     out_path = os.path.join(index.path, "postings_impact")
-    (
-        parts.mapInPandas(arrange_fn, BLOCK_SCHEMA)
-        .write.partitionBy("shard").mode("overwrite").parquet(out_path)
-    )
+    arranged = parts.mapInPandas(arrange_fn, BLOCK_SCHEMA)
+    if shards is not None:
+        # replace exactly the re-derived shards' partitions, nothing else
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            arranged.write.partitionBy("shard").mode("overwrite").parquet(out_path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    else:
+        # full derive: write aside + atomic swap, so a session-wide dynamic
+        # partitionOverwriteMode (build_index sets it) can never leave
+        # vanished shards behind, and a crash never yields a half table
+        from alexandria_spark.plans.checkpoint import atomic_swap_dir, recover_swap
+
+        recover_swap(out_path)
+        tmp = out_path + "_rebuilding"
+        arranged.write.partitionBy("shard").mode("overwrite").parquet(tmp)
+        atomic_swap_dir(tmp, out_path)
     from alexandria_spark.plans.snapshots import commit_snapshot
 
-    commit_snapshot(index.path, "impact_build", {})
+    commit_snapshot(index.path, "impact_build",
+                    {} if shards is None else {"shards": list(shards)})
     return out_path
 
 

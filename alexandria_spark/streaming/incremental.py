@@ -191,6 +191,13 @@ def refresh_index(spark: SparkSession, index_path: str,
         .join(existing, "doc_id", "left_anti")
     )
     new_dl.write.mode("append").parquet(dl_path)
+    # keep the derived impact table in lockstep with the touched shards
+    # (terms are hash-sharded identically in both tables, so only those
+    # shard partitions are re-derived)
+    if os.path.isdir(os.path.join(index_path, "postings_impact")):
+        from alexandria_spark.plans.impact import build_impact_postings
+
+        build_impact_postings(spark, idx, cfg, shards=shards)
     _clear_pending(index_path)
     commit_snapshot(index_path, "partial_refresh",
                     {"shards": shards, "stale_stats": True})

@@ -136,3 +136,30 @@ def test_impact_engine_warm_equals_cold(spark, idx):
         assert "InMemoryTableScan" in meta_plan
     finally:
         eng.unpersist()
+
+
+def test_compact_rederives_impact(spark, tmp_path):
+    """The impact table is DERIVED — compaction must rebuild it. Before this
+    guard, compact cleared the tombstones while postings_impact kept the
+    deleted docs' blocks: impact queries resurrected every compacted doc."""
+    from alexandria_spark.plans.delete import compact, delete_docs, load_deletes
+
+    docs = with_doc_ids(synth_corpus(spark, 60, seed=7))
+    idx = build_index(spark, docs, str(tmp_path / "idx"), CFG,
+                      text_col="content")
+    build_impact_postings(spark, idx, CFG)
+
+    before = impact_single_topk(spark, idx, "def", k=20, cfg=CFG)
+    assert before
+    victim = before[0][0]
+    delete_docs(spark, idx, [victim])
+    idx = compact(spark, idx, CFG)
+    assert load_deletes(spark, idx) is None  # tombstones cleared
+
+    after = impact_single_topk(spark, idx, "def", k=20, cfg=CFG)
+    assert victim not in {d for d, _ in after}
+    # the re-derived impact table is rank-identical to the doc-sorted path
+    # on the compacted index (scores recomputed from post-compact stats)
+    expect = LocalIndex(spark, idx, CFG).search("def", "or", 20)
+    assert [(d, round(s, 6)) for d, s in after] == \
+        [(d, round(s, 6)) for d, s in expect]

@@ -177,3 +177,55 @@ def test_partial_refresh_reblocks_only_touched_shards(spark, tmp_path):
         spark, docs.unionByName(new_doc), str(tmp_path / "batch"), CFG
     )
     assert _postings_set(spark, Index(idx_path)) == _postings_set(spark, batch)
+
+
+def test_partial_refresh_keeps_impact_in_sync(spark, tmp_path):
+    """When an index carries the derived impact table, a partial refresh
+    must re-derive EXACTLY the touched impact shard partitions: the new doc
+    becomes servable through the impact path, untouched impact shards stay
+    byte-identical."""
+    import numpy as np
+
+    from alexandria_spark.functions.hashing import i64_hash64
+    from alexandria_spark.plans.impact import build_impact_postings, impact_single_topk
+
+    docs = _corpus(spark, 11, 50, 0).select("doc_id", F.col("content").alias("text"))
+    in_dir = str(tmp_path / "incoming")
+    docs.coalesce(1).write.mode("append").parquet(in_dir)
+    idx_path = str(tmp_path / "idx")
+    ingest_stream(spark, in_dir, idx_path, docs.schema, CFG)
+    idx = refresh_index(spark, idx_path, CFG, mode="full")
+    build_impact_postings(spark, idx, CFG)
+
+    def file_state(root):
+        out = {}
+        for r, _d, fs in os.walk(root):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    p = os.path.join(r, f)
+                    out[os.path.relpath(p, root)] = os.path.getsize(p)
+        return out
+
+    impact_root = os.path.join(idx_path, "postings_impact")
+    before = file_state(impact_root)
+
+    word = "qqquniqueimpact"
+    shard = int(
+        np.int64(i64_hash64(word)).astype(np.uint64) % np.uint64(CFG.num_shards)
+    )
+    new_id = 20_000_000
+    spark.createDataFrame(
+        [(new_id, f"{word} {word}")], ["doc_id", "text"]
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    ingest_stream(spark, in_dir, idx_path, docs.schema, CFG)
+    idx = refresh_index(spark, idx_path, CFG, mode="partial")
+
+    hits = impact_single_topk(spark, idx, word, k=5, cfg=CFG)
+    assert [d for d, _ in hits] == [new_id]
+
+    after = file_state(impact_root)
+    prefix = f"shard={shard}/"
+    for rel, size in before.items():
+        if not rel.startswith(prefix):
+            assert after.get(rel) == size, f"untouched impact file changed: {rel}"
+    assert any(rel.startswith(prefix) for rel in after)

@@ -31,7 +31,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from alexandria_spark.config import DEFAULT, EngineConfig
-from alexandria_spark.plans.blocks import build_blocks
+from alexandria_spark.plans.blocks import build_blocks, decode_blocks
 from alexandria_spark.plans.build import (
     MIN_I64,
     BLOCK_SCHEMA,
@@ -94,6 +94,17 @@ def build_docpart_index(
         .withColumn("salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast("int"))
         .select("term_id", "salt", "doc_id", "tf", "score")
     )
+    blocks = _scored_to_docpart_blocks(scored, cfg)
+    blocks.write.partitionBy("bucket").mode("overwrite").parquet(idx.postings_path)
+    from alexandria_spark.plans.snapshots import commit_snapshot
+
+    commit_snapshot(index_path, "build_docpart", {"n_buckets": n_buckets})
+    return idx
+
+
+def _scored_to_docpart_blocks(scored: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """(term_id, salt, doc_id, tf, score) rows → per-(bucket, term) encoded
+    blocks with a ``bucket`` partition column (salt IS the doc bucket)."""
     parts = scored.repartition(cfg.shuffle_partitions, "salt").sortWithinPartitions(
         F.col("salt"), F.col("term_id"), F.col("doc_id").bitwiseXOR(F.lit(MIN_I64))
     )
@@ -145,11 +156,51 @@ def build_docpart_index(
             if len(whole):
                 yield _finish(whole)
 
-    blocks = parts.mapInPandas(fn, BLOCK_SCHEMA).withColumn("bucket", F.col("salt"))
-    blocks.write.partitionBy("bucket").mode("overwrite").parquet(idx.postings_path)
+    return parts.mapInPandas(fn, BLOCK_SCHEMA).withColumn("bucket", F.col("salt"))
+
+
+def rebuild_docpart_from_postings(spark: SparkSession, index_path: str,
+                                  cfg: EngineConfig,
+                                  n_buckets: int | None = None
+                                  ) -> DocPartitionedIndex:
+    """Re-derive the doc-partitioned table from the CURRENT term-sharded
+    postings (decode → re-bucket → re-encode, atomic swap) — called whenever
+    the source-of-truth postings are rewritten (rebuild / compact / partial
+    refresh), so the doc layout can never serve stale or resurrected docs.
+    Deriving from the postings (not from term_doc) guarantees byte-level
+    score identity between the two layouts."""
+    from alexandria_spark.plans.checkpoint import atomic_swap_dir, recover_swap
+
+    n_buckets = n_buckets or cfg.num_shards
+    idx = DocPartitionedIndex(index_path)
+    blocks = Index(index_path).postings(spark)
+
+    def decode_fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            dec = decode_blocks(pdf, want_tf=True)
+            yield dec[["term_id", "doc_id", "score", "tf"]]
+
+    import pyspark.sql.types as T
+
+    dec_schema = T.StructType([
+        T.StructField("term_id", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.FloatType()),
+        T.StructField("tf", T.LongType()),
+    ])
+    scored = blocks.mapInPandas(decode_fn, dec_schema).withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast("int")
+    ).select("term_id", "salt", "doc_id", "tf", "score")
+    out = _scored_to_docpart_blocks(scored, cfg)
+    recover_swap(idx.postings_path)
+    tmp = idx.postings_path.rstrip("/") + "_rebuilding"
+    out.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+    atomic_swap_dir(tmp, idx.postings_path)
     from alexandria_spark.plans.snapshots import commit_snapshot
 
-    commit_snapshot(index_path, "build_docpart", {"n_buckets": n_buckets})
+    commit_snapshot(index_path, "docpart_rebuild", {"n_buckets": n_buckets})
     return idx
 
 

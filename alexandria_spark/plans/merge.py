@@ -74,12 +74,17 @@ def rebuild_from_term_doc(
     blocks.write.partitionBy("wave", "shard").mode("overwrite").parquet(tmp)
     atomic_swap_dir(tmp, idx.postings_path)
     # derived acceleration tables must follow the source of truth: a stale
-    # impact table would serve pre-rebuild postings (after a compact, even
-    # docs whose tombstones were just cleared — resurrected deletes)
+    # impact or doc-partitioned table would serve pre-rebuild postings
+    # (after a compact, even docs whose tombstones were just cleared —
+    # resurrected deletes)
     if os.path.isdir(os.path.join(index_path, "postings_impact")):
         from alexandria_spark.plans.impact import build_impact_postings
 
         build_impact_postings(spark, idx, cfg)
+    if os.path.isdir(os.path.join(index_path, "postings_doc")):
+        from alexandria_spark.plans.docpart import rebuild_docpart_from_postings
+
+        rebuild_docpart_from_postings(spark, index_path, cfg)
     log.mark_done("rebuild", run_id, run_id, docs_processed=n_docs,
                   wall_ms=int(1000 * (time.time() - t0)))
     from alexandria_spark.plans.snapshots import commit_snapshot

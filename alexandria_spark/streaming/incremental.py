@@ -198,6 +198,15 @@ def refresh_index(spark: SparkSession, index_path: str,
         from alexandria_spark.plans.impact import build_impact_postings
 
         build_impact_postings(spark, idx, cfg, shards=shards)
+    # the doc-partitioned layout buckets by doc hash, not term shard, and a
+    # re-blocked term touches every bucket holding one of its docs — so it
+    # re-derives in full from the refreshed postings (score-identical by
+    # construction); the honest cost of a doc-major derived layout under
+    # term-major deltas
+    if os.path.isdir(os.path.join(index_path, "postings_doc")):
+        from alexandria_spark.plans.docpart import rebuild_docpart_from_postings
+
+        rebuild_docpart_from_postings(spark, index_path, cfg)
     _clear_pending(index_path)
     commit_snapshot(index_path, "partial_refresh",
                     {"shards": shards, "stale_stats": True})

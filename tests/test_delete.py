@@ -105,3 +105,31 @@ def test_compact_recovers_from_crashed_swap(spark, tmp_path):
     shutil.copytree(td, td + "_old")
     compact(spark, idx, CFG)
     assert os.path.exists(td) and not os.path.exists(td + "_old")
+
+
+def test_compact_rederives_docpart(spark, tmp_path):
+    """Compaction must re-derive the doc-partitioned layout: its tombstone
+    filter disappears with the tombstones, so a stale postings_doc would
+    resurrect every compacted doc through the fastest warm engine."""
+    from alexandria_spark.plans.docpart import build_docpart_index, search_docpart
+
+    docs = with_doc_ids(synth_corpus(spark, 60, seed=31))
+    idx = build_index(spark, docs, str(tmp_path / "idx"), CFG,
+                      text_col="content")
+    dp = build_docpart_index(spark, docs, str(tmp_path / "idx"), CFG,
+                             text_col="content")
+
+    before = search_docpart(spark, dp, "def", "or", 20, CFG).collect()
+    assert before
+    victim = before[0]["doc_id"]
+    delete_docs(spark, idx, [victim])
+    idx = compact(spark, idx, CFG)
+
+    after = search_docpart(spark, dp, "def", "or", 20, CFG).collect()
+    assert victim not in {r["doc_id"] for r in after}
+    # the re-derived doc layout is rank- and score-identical to the
+    # term layout on the compacted index
+    expect = [(r["doc_id"], round(r["score"], 6))
+              for r in search(spark, idx, "def", "or", 20, CFG).collect()]
+    got = [(r["doc_id"], round(r["score"], 6)) for r in after]
+    assert got == expect

@@ -196,6 +196,9 @@ def test_partial_refresh_keeps_impact_in_sync(spark, tmp_path):
     ingest_stream(spark, in_dir, idx_path, docs.schema, CFG)
     idx = refresh_index(spark, idx_path, CFG, mode="full")
     build_impact_postings(spark, idx, CFG)
+    from alexandria_spark.plans.docpart import rebuild_docpart_from_postings, search_docpart
+
+    dp = rebuild_docpart_from_postings(spark, idx_path, CFG)
 
     def file_state(root):
         out = {}
@@ -222,6 +225,10 @@ def test_partial_refresh_keeps_impact_in_sync(spark, tmp_path):
 
     hits = impact_single_topk(spark, idx, word, k=5, cfg=CFG)
     assert [d for d, _ in hits] == [new_id]
+
+    # the doc-partitioned derived layout re-derived too — serves the new doc
+    dp_hits = search_docpart(spark, dp, word, "or", 5, CFG).collect()
+    assert [r["doc_id"] for r in dp_hits] == [new_id]
 
     after = file_state(impact_root)
     prefix = f"shard={shard}/"

@@ -41,7 +41,29 @@ def save_doc_store(docs: DataFrame, name: str = "ax_doc_store",
     )
 
 
+def append_doc_store(docs: DataFrame, name: str = "ax_doc_store",
+                     buckets: int = 32) -> None:
+    """Append new docs to the bucketed store (creating it on first use) —
+    the streaming-ingest companion so the composed serve pipeline can
+    decorate docs the moment their postings land. Appends reuse the same
+    bucket spec, so the shuffle-free store-side join plan is preserved.
+    Exactly-once to the same degree as the postings append: the stream's
+    checkpoint prevents re-ingesting a finished batch."""
+    spark = docs.sparkSession
+    if not spark.catalog.tableExists(name):
+        save_doc_store(docs, name, buckets)
+        return
+    (
+        docs.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .mode("append").format("parquet").saveAsTable(name)
+    )
+
+
 def load_doc_store(spark: SparkSession, name: str = "ax_doc_store") -> DataFrame:
+    # drop any stale file-listing cache first: streaming appends run in a
+    # cloned microbatch session whose cache invalidation does not propagate
+    # to this one (a metadata-only op, cheap relative to any query)
+    spark.catalog.refreshTable(name)
     return spark.table(name)
 
 

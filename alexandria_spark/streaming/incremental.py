@@ -36,9 +36,15 @@ def ingest_stream(
     text_col: str = "text",
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    doc_store: str | None = None,
+    doc_store_buckets: int = 32,
 ):
     """Start (and by default drain) a stream appending tokenized postings to
-    ``<index>/term_doc``. Returns the StreamingQuery."""
+    ``<index>/term_doc``. Returns the StreamingQuery.
+
+    ``doc_store`` names a bucketed doc-store table to append each batch's
+    raw docs to (created on first batch) — keeps the composed serve
+    pipeline's decoration/domain joins complete for freshly ingested docs."""
     td_path = os.path.join(index_path, "term_doc")
     ckpt = os.path.join(index_path, "_stream_checkpoint")
     reader = spark.readStream.schema(schema)
@@ -62,6 +68,10 @@ def ingest_stream(
                 int(r["shard"]) for r in tok.select("shard").distinct().collect()
             )
             _record_pending(index_path, int(batch_id), shards)
+            if doc_store is not None:
+                from alexandria_spark.sources.docstore import append_doc_store
+
+                append_doc_store(batch_df, doc_store, doc_store_buckets)
         finally:
             tok.unpersist()
         from alexandria_spark.plans.snapshots import commit_snapshot

@@ -236,3 +236,45 @@ def test_partial_refresh_keeps_impact_in_sync(spark, tmp_path):
         if not rel.startswith(prefix):
             assert after.get(rel) == size, f"untouched impact file changed: {rel}"
     assert any(rel.startswith(prefix) for rel in after)
+
+
+def test_ingest_maintains_doc_store(spark, tmp_path):
+    """ingest_stream(doc_store=...) must append each batch's raw docs to the
+    bucketed store so composed serving can decorate freshly ingested docs —
+    and the append must preserve the bucket spec (store-side join stays
+    shuffle-free)."""
+    from alexandria_spark.sources.docstore import decorate_from_store, load_doc_store
+
+    name = "ax_store_stream_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    docs = _corpus(spark, 13, 30, 0).select(
+        "doc_id", F.col("content").alias("text")
+    )
+    in_dir = str(tmp_path / "incoming")
+    idx_path = str(tmp_path / "idx")
+    docs.coalesce(1).write.mode("append").parquet(in_dir)
+    ingest_stream(spark, in_dir, idx_path, docs.schema, CFG, doc_store=name)
+    assert load_doc_store(spark, name).count() == 30
+
+    more = spark.createDataFrame(
+        [(77_000_001, "fresh streamed doc"), (77_000_002, "another fresh doc")],
+        ["doc_id", "text"],
+    )
+    more.coalesce(1).write.mode("append").parquet(in_dir)
+    ingest_stream(spark, in_dir, idx_path, docs.schema, CFG, doc_store=name)
+    store = load_doc_store(spark, name)
+    assert store.count() == 32
+    assert store.where(F.col("doc_id") == 77_000_001).count() == 1
+
+    # bucketed join posture survives the append: only the results side
+    # shuffles
+    results = spark.createDataFrame([(77_000_001, 1.0)], ["doc_id", "score"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = decorate_from_store(results, store)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+        assert joined.collect()[0]["snippet"] == "fresh streamed doc"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

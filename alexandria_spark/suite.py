@@ -635,6 +635,30 @@ SQL_INDEX_SEARCH_OR_TOPK = SQL_PRELUDE + (
 )
 
 
+def q_index_phrase(spark, sf_dir):
+    """Exact-phrase serving over a PERSISTED n_grams=2 index: the phrase is
+    ONE murmur n-gram key (text.cpp:360-373), so the whole query path is a
+    single-key lookup through the delta+varint blocks — every phrase match
+    with its BM25 score (df = phrase doc frequency, doc_len = unigram
+    count, corpus stats from the unigram doc_lengths table)."""
+    from alexandria_spark.plans.build import build_index
+    from alexandria_spark.plans.query import search
+
+    cfg = EngineConfig(num_shards=8, shuffle_partitions=8, build_waves=1,
+                       block_size=1024, n_grams=2)
+    key = ("ngram2", sf_dir)
+    if key not in _IDX_CACHE:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="ax_suite_ng2_") + "/idx"
+        _IDX_CACHE[key] = build_index(
+            spark, _docs(spark, sf_dir), path, cfg, text_col="text"
+        )
+    r = search(spark, _IDX_CACHE[key], " ".join(PHRASE), mode="phrase",
+               k=None, cfg=cfg)
+    return r.select("doc_id", _r4(F.col("score")).alias("score"))
+
+
 def q_merge_search_topk(spark, sf_dir):
     """Hard-gates the partial→final merge (plans/merge.merge_indexes, the
     reference's index_builder::merge_with analogue, index_builder.h:303-361):
@@ -697,6 +721,7 @@ ENTRIES: dict[str, tuple] = {
     "impact_single_topk": (q_impact_single_topk, SQL_IMPACT_SINGLE_TOPK),
     "impact_or_topk": (q_impact_or_topk, SQL_INDEX_SEARCH_OR_TOPK),
     "merge_search_topk": (q_merge_search_topk, SQL_INDEX_SEARCH_TOPK),
+    "index_phrase": (q_index_phrase, SQL_BM25_PHRASE),
     # training-data pipeline operators (operators/{dedup,analysis,similarity,multimodal})
     **dedup.ENTRIES,
     **analysis.ENTRIES,

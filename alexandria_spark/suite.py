@@ -519,18 +519,10 @@ def q_index_serve_full(spark, sf_dir):
 
     from alexandria_spark.operators.links import synth_domain_links, synth_links
     from alexandria_spark.operators.serving import serve_full_index
-    from alexandria_spark.sources.docstore import load_doc_store, save_doc_store
 
     idx = _suite_index(spark, sf_dir)
     docs = _docs(spark, sf_dir)
-    key = ("store", sf_dir)
-    if key not in _IDX_CACHE:
-        name = "ax_serve_store_" + "".join(
-            c if c.isalnum() else "_" for c in sf_dir.strip("/")
-        )
-        save_doc_store(docs, name=name, buckets=8)
-        _IDX_CACHE[key] = name
-    store = load_doc_store(spark, _IDX_CACHE[key])
+    store = _suite_store(spark, sf_dir)
     cfg = dataclasses.replace(
         _IDX_CFG, pre_result_limit=120, dedup_group_count=1, result_limit=40
     )
@@ -635,6 +627,38 @@ SQL_INDEX_SEARCH_OR_TOPK = SQL_PRELUDE + (
 )
 
 
+def _suite_store(spark, sf_dir):
+    """Bucketed doc store for this sf_dir (create once per process)."""
+    from alexandria_spark.sources.docstore import load_doc_store, save_doc_store
+
+    key = ("store", sf_dir)
+    if key not in _IDX_CACHE:
+        name = "ax_serve_store_" + "".join(
+            c if c.isalnum() else "_" for c in sf_dir.strip("/")
+        )
+        save_doc_store(_docs(spark, sf_dir), name=name, buckets=8)
+        _IDX_CACHE[key] = name
+    return load_doc_store(spark, _IDX_CACHE[key])
+
+
+def q_index_group_by_source(spark, sf_dir):
+    """The reference's group-by query path (`find_group_by`,
+    sharded_index.h group-by over record bitmaps) over the PERSISTED
+    artifacts: single-key lookup through the block index, domain column
+    from the bucketed doc store (shuffle-free store side), one aggregation
+    per group — score mass and match count per source."""
+    from alexandria_spark.plans.query import search
+
+    idx = _suite_index(spark, sf_dir)
+    store = _suite_store(spark, sf_dir)
+    r = search(spark, idx, Q_SINGLE, mode="or", k=None, cfg=_IDX_CFG)
+    j = r.join(store.select("doc_id", "source"), "doc_id")
+    return j.groupBy("source").agg(
+        _r4(F.sum(F.col("score").cast("double"))).alias("score_sum"),
+        F.count("*").alias("cnt"),
+    )
+
+
 def q_index_phrase(spark, sf_dir):
     """Exact-phrase serving over a PERSISTED n_grams=2 index: the phrase is
     ONE murmur n-gram key (text.cpp:360-373), so the whole query path is a
@@ -722,6 +746,7 @@ ENTRIES: dict[str, tuple] = {
     "impact_or_topk": (q_impact_or_topk, SQL_INDEX_SEARCH_OR_TOPK),
     "merge_search_topk": (q_merge_search_topk, SQL_INDEX_SEARCH_TOPK),
     "index_phrase": (q_index_phrase, SQL_BM25_PHRASE),
+    "index_group_by_source": (q_index_group_by_source, SQL_GROUP_BY_SOURCE),
     # training-data pipeline operators (operators/{dedup,analysis,similarity,multimodal})
     **dedup.ENTRIES,
     **analysis.ENTRIES,

@@ -57,9 +57,12 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, perm_id, minh) — 8-permutation MinHash over 3-gram shingles."""
-    sh = shingles(docs).withColumn("x", md5_int60(F.col("shingle")) % P31)
+def minhash_signatures(docs: DataFrame, _shingles: DataFrame | None = None) -> DataFrame:
+    """(doc_id, perm_id, minh) — 8-permutation MinHash over 3-gram shingles.
+    ``_shingles`` reuses a precomputed (cached) shingle relation."""
+    sh = (_shingles if _shingles is not None else shingles(docs)).withColumn(
+        "x", md5_int60(F.col("shingle")) % P31
+    )
     perms = sh.sparkSession.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(PERMS)], ["perm_id", "a", "b"]
     )
@@ -71,7 +74,8 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 
 
 def lsh_candidate_pairs(docs: DataFrame, band_size: int = 4,
-                        max_bucket: int | None = 10_000) -> DataFrame:
+                        max_bucket: int | None = 10_000,
+                        _shingles: DataFrame | None = None) -> DataFrame:
     """(doc_a, doc_b) candidate near-duplicate pairs: docs sharing a full
     MinHash band (banding → bucket-join, the scalable LSH path).
 
@@ -81,7 +85,7 @@ def lsh_candidate_pairs(docs: DataFrame, band_size: int = 4,
     standard LSH cap (such buckets are near-universal content whose pairs a
     verifier would reject anyway); pass None to disable.
     """
-    sig = minhash_signatures(docs).withColumn(
+    sig = minhash_signatures(docs, _shingles).withColumn(
         "band", (F.col("perm_id") / band_size).cast("int")
     )
     bands = sig.groupBy("doc_id", "band").agg(
@@ -130,12 +134,17 @@ def simhash16(docs: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
-                  digits: int | None = 4) -> DataFrame:
+                  digits: int | None = 4,
+                  _shingles: DataFrame | None = None) -> DataFrame:
     """(doc_a, doc_b, jaccard) — exact shingle-set Jaccard for candidate
     pairs (verification stage after LSH). ``digits=None`` returns the raw
     IEEE-double ratio (bit-exact reproducible: pure integer arithmetic
-    until one division)."""
-    sh = shingles(docs).distinct()
+    until one division). ``_shingles`` reuses a precomputed relation when
+    the caller already has one; measured on this host, persist()-ing
+    shingles purely to share them between LSH and verification was SLOWER
+    than recomputing (string materialization > window recompute), so only
+    pass a relation that exists anyway."""
+    sh = (_shingles if _shingles is not None else shingles(docs)).distinct()
     a = sh.alias("sa").join(pairs, F.col("sa.doc_id") == F.col("doc_a"))
     both = a.join(
         sh.alias("sb"),

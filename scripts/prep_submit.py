@@ -70,7 +70,12 @@ def main():
     docs = stage("exact_dedup", docs.join(keep, "doc_id", "left_semi"),
                  args.output + "/dedup_exact")
 
-    # 2. near-dup drop: loser = higher doc_id of each confirmed pair
+    # 2. near-dup drop: loser = higher doc_id of each confirmed pair.
+    # Shingles are recomputed per stage on purpose: caching the shingle
+    # relation measured SLOWER here (materializing the string rows costs
+    # more than the window recompute) and would not fit memory at scale —
+    # pass _shingles= to the dedup operators only when a cheap cached
+    # relation genuinely exists.
     pairs = ngram_jaccard(docs, lsh_candidate_pairs(docs), digits=None)
     losers = (
         pairs.where(F.col("jaccard") >= args.jaccard_drop)

@@ -13,6 +13,8 @@ one groupBy.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
@@ -43,18 +45,43 @@ def exact_dups(docs: DataFrame) -> DataFrame:
 
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) — n-gram token shingles (n=3), space-joined like the
-    reference's n-gram keys (text.cpp:360-373)."""
-    toks = doc_tokens_pos(docs)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    cols = [F.col("term")] + [F.lead("term", i).over(w).alias(f"w{i}") for i in range(1, n)]
-    tri = toks.select("doc_id", *cols)
-    cond = F.lit(True)
-    for i in range(1, n):
-        cond = cond & F.col(f"w{i}").isNotNull()
-    parts = [F.col("term")] + [F.col(f"w{i}") for i in range(1, n)]
-    return tri.where(cond).select(
-        "doc_id", F.concat_ws(" ", *parts).alias("shingle")
-    )
+    reference's n-gram keys (text.cpp:360-373).
+
+    MAP-ONLY: each document's text lives in one row, so its shingles are
+    computed inside the Arrow batch (vectorized shifted-concat over the
+    token stream) with ZERO shuffle — the previous implementation windowed
+    over every token (full-token shuffle + sort), which at 100 TB would be
+    the dominant cost of the whole near-dup pipeline."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from alexandria_spark.functions.tokenizer import tokenize_series
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("shingle", StringType()),
+    ])
+
+    def fn(batches):
+        for pdf in batches:
+            rows, words = tokenize_series(pdf["text"])
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            m = len(rows) - (n - 1)
+            if m <= 0:
+                yield pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                                    "shingle": np.empty(0, object)})
+                continue
+            # tokens arrive in document order; a window of n tokens is a
+            # shingle iff it never crosses a document boundary
+            keep = rows[: m] == rows[n - 1:]
+            joined = pd.Series(words[:m], dtype=object)
+            for j in range(1, n):
+                joined = joined + " " + pd.Series(words[j: m + j], dtype=object)
+            yield pd.DataFrame({
+                "doc_id": ids[rows[:m][keep]],
+                "shingle": joined.to_numpy()[keep],
+            })
+
+    return docs.select("doc_id", "text").mapInPandas(fn, schema)
 
 
 def minhash_signatures(docs: DataFrame, _shingles: DataFrame | None = None) -> DataFrame:

@@ -197,6 +197,13 @@ def test_lsh_and_pack_plan_posture(spark):
         [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3} shared common tail") for i in range(12)],
         ["doc_id", "text"],
     )
+    # the shingle pass is map-only: no shuffle, no window, until the
+    # minhash groupBy (the previous windowed form shuffled every token)
+    from alexandria_spark.operators.dedup import shingles
+
+    sh_plan = _plan(shingles(docs))
+    assert "Exchange" not in sh_plan and "Window" not in sh_plan, sh_plan
+
     plan = _plan(lsh_candidate_pairs(docs))
     # no CartesianProduct anywhere; the only nested-loop join allowed is the
     # broadcast-tiny 8-row perms cross join inside minhash_signatures

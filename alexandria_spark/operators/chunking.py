@@ -15,6 +15,8 @@ rows explode map-side after), splitting is map-only.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
@@ -42,24 +44,51 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
                     stride: int | None = None) -> DataFrame:
     """(doc_id, chunk_id, n_tokens, chunk_text) — fixed-size token windows;
     ``stride`` < chunk_tokens gives overlapping windows. The final partial
-    window is kept (a doc shorter than one window yields one chunk)."""
+    window is kept (a doc shorter than one window yields one chunk).
+
+    MAP-ONLY: each document's text is one row, so its windows are cut
+    inside the Arrow batch — no token shuffle, no groupBy (the previous
+    implementation collected every token through a groupBy(doc_id))."""
+    import math
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from alexandria_spark.functions.tokenizer import tokenize_series
+
     stride = stride or chunk_tokens
-    arr = doc_token_arrays(docs)
-    n_chunks = F.greatest(
-        F.ceil((F.size("toks") - F.lit(chunk_tokens)) / F.lit(stride)) + 1,
-        F.lit(1),
-    ).cast("int")
-    chunks = arr.select(
-        "doc_id", "toks",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
-    )
-    window = F.slice(F.col("toks"), F.col("chunk_id") * stride + 1, chunk_tokens)
-    return chunks.select(
-        "doc_id",
-        F.col("chunk_id").cast("long").alias("chunk_id"),
-        F.size(window).cast("long").alias("n_tokens"),
-        F.array_join(window, " ").alias("chunk_text"),
-    )
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("chunk_id", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("chunk_text", StringType()),
+    ])
+
+    def fn(batches):
+        for pdf in batches:
+            rows, words = tokenize_series(pdf["text"])
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            counts = (np.bincount(rows, minlength=len(pdf)).astype(np.int64)
+                      if len(rows) else np.zeros(len(pdf), np.int64))
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            out_id, out_cid, out_n, out_txt = [], [], [], []
+            for i in range(len(pdf)):
+                length, s = int(counts[i]), int(starts[i])
+                nc = max(math.ceil((length - chunk_tokens) / stride) + 1, 1)
+                for c in range(nc):
+                    a = s + c * stride
+                    win = words[a: min(a + chunk_tokens, s + length)]
+                    out_id.append(ids[i])
+                    out_cid.append(c)
+                    out_n.append(len(win))
+                    out_txt.append(" ".join(win))
+            yield pd.DataFrame({
+                "doc_id": np.asarray(out_id, np.int64),
+                "chunk_id": np.asarray(out_cid, np.int64),
+                "n_tokens": np.asarray(out_n, np.int64),
+                "chunk_text": np.asarray(out_txt, object),
+            })
+
+    return docs.select("doc_id", "text").mapInPandas(fn, schema)
 
 
 def train_val_split(docs: DataFrame, val_pct: int = 10,

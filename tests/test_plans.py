@@ -218,6 +218,9 @@ def test_lsh_and_pack_plan_posture(spark):
     # the window partitions by the shard column, not a global sort
     assert "hashpartitioning(shard" in plan, plan
     assert "SinglePartition" not in plan.split("Window")[0], plan
+    # with map-only chunking, chunk → window → aggregate is ONE shuffle
+    # end-to-end (the shard repartition; the final groupBy reuses it)
+    assert plan.count("Exchange") == 1, plan
 
 
 def test_docpart_guard_rails(spark, idx, tmp_path):

@@ -199,6 +199,49 @@ def _maybe_round(col, digits: int | None):
     return col if digits is None else F.round(col, digits)
 
 
+def cross_corpus_contamination(docs: DataFrame, bench: DataFrame,
+                               band_size: int = 4) -> DataFrame:
+    """(doc_id, bench_id, kind) — training docs that leak benchmark content
+    (the decontamination step of a training-data pipeline): ``exact`` =
+    identical content hash; ``near`` = shares a full MinHash band with a
+    benchmark doc (the LSH candidate relation across the two corpora —
+    verify survivors with ngram_jaccard if a threshold matters).
+
+    Scale: exact is one hash equi-join; near is a band-key equi-join of
+    per-corpus signatures — never an all-pairs product. The benchmark side
+    is normally tiny (broadcastable); neither side ships raw text."""
+    ex = (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .join(bench.select(F.col("doc_id").alias("bench_id"),
+                           F.md5("text").alias("h")), "h")
+        .select("doc_id", "bench_id", F.lit("exact").alias("kind"))
+    )
+
+    def bands(df):
+        sig = minhash_signatures(df).withColumn(
+            "band", (F.col("perm_id") / band_size).cast("int")
+        )
+        return sig.groupBy("doc_id", "band").agg(
+            F.concat_ws(",", F.array_sort(F.collect_list(
+                F.concat_ws(":", F.col("perm_id"), F.col("minh"))
+            ))).alias("band_key")
+        )
+
+    near = (
+        bands(docs)
+        .join(bands(bench).select(F.col("doc_id").alias("bench_id"),
+                                  "band", "band_key"),
+              ["band", "band_key"])
+        .select("doc_id", "bench_id", F.lit("near").alias("kind"))
+        .distinct()
+    )
+    # a pair that matches exactly also shares every band; report it once
+    return ex.unionByName(
+        near.join(ex.select("doc_id", "bench_id"), ["doc_id", "bench_id"],
+                  "left_anti")
+    )
+
+
 # ------------------------------------------------------------ suite entries
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,10 +364,56 @@ SELECT doc_id,
 FROM per_bit GROUP BY doc_id
 """
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination entry: a deterministic ~15% of the corpus plays the
+    benchmark (re-identified with +10M ids), so every benchmark doc leaks
+    exactly (plus natural dups) and the near channel surfaces the corpus's
+    genuine near-duplicates of benchmark texts."""
+    docs = documents(spark, sf_dir)
+    bench = docs.where(
+        md5_int60(F.concat(F.lit("bench:"), F.col("doc_id").cast("string"))) % 100 < 15
+    ).select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    return cross_corpus_contamination(docs, bench)
+
+
+SQL_CONTAMINATION = SQL_MINHASH.replace(
+    _SIG_FINAL,
+    """, sigg AS (
+  SELECT doc_id, perm_id, min((a * x + b) % 2147483647) AS minh
+  FROM shx CROSS JOIN perms GROUP BY doc_id, perm_id
+),
+bands AS (
+  SELECT doc_id, CAST(floor(perm_id / 4.0e0) AS INT) AS band,
+         string_agg(perm_id || ':' || minh, ',' ORDER BY perm_id || ':' || minh) AS band_key
+  FROM sigg GROUP BY doc_id, CAST(floor(perm_id / 4.0e0) AS INT)
+),
+bench AS (
+  SELECT doc_id FROM documents
+  WHERE CAST(concat('0x', substr(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 15
+),
+exact AS (
+  SELECT d.doc_id, b.doc_id + 10000000 AS bench_id
+  FROM documents d JOIN documents b ON md5(d.text) = md5(b.text)
+  WHERE b.doc_id IN (SELECT doc_id FROM bench)
+),
+near AS (
+  SELECT DISTINCT a.doc_id, b.doc_id + 10000000 AS bench_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE b.doc_id IN (SELECT doc_id FROM bench)
+)
+SELECT doc_id, bench_id, 'exact' AS kind FROM exact
+UNION ALL
+SELECT n.doc_id, n.bench_id, 'near' AS kind FROM near n
+WHERE NOT EXISTS (SELECT 1 FROM exact e
+                  WHERE e.doc_id = n.doc_id AND e.bench_id = n.bench_id)""",
+)
+
+
 ENTRIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signatures": (q_minhash, SQL_MINHASH),
     "lsh_candidates": (q_lsh_candidates, SQL_LSH_CANDIDATES),
     "near_dup_jaccard": (q_near_dup_jaccard, SQL_NEAR_DUP_JACCARD),
+    "contamination_check": (q_contamination, SQL_CONTAMINATION),
     "simhash": (q_simhash, SQL_SIMHASH),
 }

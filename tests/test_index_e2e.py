@@ -305,3 +305,44 @@ def test_expand_blend_index_and_query(spark, tmp_path):
     # a blended QUERY term matches docs containing only its sub-words (OR)
     hits2 = {r.doc_id for r in search(spark, idx, "xx-tion", "or", k=10, cfg=cfg).collect()}
     assert 1 in hits2 and 3 in hits2
+
+
+def test_rank_identity_prime_shards_odd_waves(spark, tmp_path):
+    """The reference runs PRIME shard counts (4001, config nums at
+    index_manager.cpp:41-48); every other test here uses powers of two.
+    num_shards=5 with build_waves=3 (waves don't divide shards) and a tiny
+    block size must still be rank-identical to the brute-force oracle for
+    every engine, including after a delete."""
+    from alexandria_spark.plans.delete import delete_docs
+    from alexandria_spark.plans.docpart import build_docpart_index, search_docpart
+    from alexandria_spark.plans.query import search_bmw
+
+    cfg = EngineConfig(num_shards=5, block_size=4, shuffle_partitions=8,
+                       build_waves=3, max_postings_per_salt=32)
+    docs = with_doc_ids(synth_corpus(spark, 90, seed=101))
+    idx = build_index(spark, docs, str(tmp_path / "idx"), cfg,
+                      text_col="content")
+    dp = build_docpart_index(spark, docs, str(tmp_path / "idx"), cfg,
+                             text_col="content")
+    rows = [(r.doc_id, r.content) for r in docs.collect()]
+    oracle = OracleIndex(rows, cfg)
+    local = LocalIndex(spark, idx, cfg)
+
+    for q, mode in [("def return", "and"), ("parse tokenize index", "or"),
+                    ("def", "or"), ("zz_absent def", "and")]:
+        exp = [d for d, _ in oracle.search(q, mode, 10)]
+        assert [d for d, _ in local.search(q, mode, 10)] == exp, (q, mode)
+        got = [int(r["doc_id"]) for r in
+               search(spark, idx, q, mode, k=10, cfg=cfg).collect()]
+        assert got == exp, (q, mode, "dist")
+        assert [d for d, _ in search_bmw(spark, idx, q, mode, 10, cfg)] == exp, \
+            (q, mode, "bmw")
+        assert [int(r["doc_id"]) for r in
+                search_docpart(spark, dp, q, mode, 10, cfg).collect()] == exp, \
+            (q, mode, "docpart")
+
+    victim = oracle.search("def return", "and", 1)[0][0]
+    delete_docs(spark, idx, [victim])
+    got = [int(r["doc_id"]) for r in
+           search(spark, idx, "def return", "and", k=10, cfg=cfg).collect()]
+    assert victim not in got

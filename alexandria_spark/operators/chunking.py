@@ -44,7 +44,8 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
                     stride: int | None = None) -> DataFrame:
     """(doc_id, chunk_id, n_tokens, chunk_text) — fixed-size token windows;
     ``stride`` < chunk_tokens gives overlapping windows. The final partial
-    window is kept (a doc shorter than one window yields one chunk).
+    window is kept (a doc shorter than one window yields one chunk;
+    zero-token docs yield none).
 
     MAP-ONLY: each document's text is one row, so its windows are cut
     inside the Arrow batch — no token shuffle, no groupBy (the previous
@@ -73,6 +74,11 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
             out_id, out_cid, out_n, out_txt = [], [], [], []
             for i in range(len(pdf)):
                 length, s = int(counts[i]), int(starts[i])
+                if length == 0:
+                    # zero-token docs produce no chunks — matches the
+                    # previous groupBy implementation (no token rows → no
+                    # group) and the DuckDB oracle's exploded-token CTE
+                    continue
                 nc = max(math.ceil((length - chunk_tokens) / stride) + 1, 1)
                 for c in range(nc):
                     a = s + c * stride

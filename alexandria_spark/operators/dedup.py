@@ -376,17 +376,12 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_corpus_contamination(docs, bench)
 
 
+# reuses _LSH_CTES for the shared sigg/bands definitions (its ok/cand CTEs
+# go unused here, which DuckDB permits) — one copy of the banding SQL
 SQL_CONTAMINATION = SQL_MINHASH.replace(
     _SIG_FINAL,
-    """, sigg AS (
-  SELECT doc_id, perm_id, min((a * x + b) % 2147483647) AS minh
-  FROM shx CROSS JOIN perms GROUP BY doc_id, perm_id
-),
-bands AS (
-  SELECT doc_id, CAST(floor(perm_id / 4.0e0) AS INT) AS band,
-         string_agg(perm_id || ':' || minh, ',' ORDER BY perm_id || ':' || minh) AS band_key
-  FROM sigg GROUP BY doc_id, CAST(floor(perm_id / 4.0e0) AS INT)
-),
+    _LSH_CTES
+    + """,
 bench AS (
   SELECT doc_id FROM documents
   WHERE CAST(concat('0x', substr(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 15

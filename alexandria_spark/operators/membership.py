@@ -151,16 +151,19 @@ def q_bloom_new_docs(spark, sf_dir: str) -> DataFrame:
     through ``filter_new_docs``.
 
     No-false-negative guarantee makes every member row's fate exact; the
-    filter is sized (2^23 bits, k=4, ~n/3 members) so the deterministic
-    false-positive set is empty at every test SF — verified at sf0.001,
-    sf0.01 and sf0.1 (the bitmap is a pure function of the data, so the
-    driver's run cannot differ). A hash or bit-indexing bug flips rows on
-    either side and reddens the entry.
+    filter is sized to the member count (>= 1024 bits/member, power of two,
+    floor 2^23) so the deterministic false-positive set stays empty at ANY
+    scale factor — verified empirically at sf0.001/0.01/0.1, and the
+    expected FP count stays << 1 as both sides grow together (the bitmap is
+    a pure function of the data, so the driver's run cannot differ). A hash
+    or bit-indexing bug flips rows on either side and reddens the entry.
     """
     from alexandria_spark.sources.tables import documents
 
     docs = documents(spark, sf_dir)
-    bloom = build_doc_filter(docs.where(F.col("doc_id") % 3 == 0))
+    members = docs.where(F.col("doc_id") % 3 == 0)
+    n_bits = 1 << max(23, int(members.count() * 1024 - 1).bit_length())
+    bloom = build_doc_filter(members, n_bits=n_bits)
     return filter_new_docs(docs, bloom).select("doc_id")
 
 

@@ -93,7 +93,17 @@ def tokenize_docs(
 
     Vectorized end to end: tokenizer + murmur2 + per-doc tf aggregation all
     happen on the Arrow batch in numpy/pandas (no per-row Python).
+
+    A ``binary`` text column is sanitized to valid UTF-8 first (malformed
+    sequences → U+FFFD, the reference's unicode ingest guard) — so raw
+    scraped payloads can feed every build/ingest path directly.
     """
+    from pyspark.sql.types import BinaryType
+
+    if isinstance(docs.schema[text_col].dataType, BinaryType):
+        from alexandria_spark.functions.tokenizer import sanitize_utf8
+
+        docs = docs.withColumn(text_col, sanitize_utf8(F.col(text_col)))
     num_shards = cfg.num_shards
     schema = term_doc_schema(keep_term)
 
@@ -141,6 +151,12 @@ def corpus_stats_pass(
     posting stream — this is what keeps stage 2 off the critical path at
     scale (the reference's analogue is the HLL doc counter + in-RAM
     document_sizes map, sharded_builder.h:72-73)."""
+    from pyspark.sql.types import BinaryType
+
+    if isinstance(docs.schema[text_col].dataType, BinaryType):
+        from alexandria_spark.functions.tokenizer import sanitize_utf8
+
+        docs = docs.withColumn(text_col, sanitize_utf8(F.col(text_col)))
 
     n_grams = cfg.n_grams
 

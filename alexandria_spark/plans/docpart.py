@@ -55,6 +55,23 @@ class DocPartitionedIndex(Index):
     def postings_path(self) -> str:
         return os.path.join(self.path, "postings_doc")
 
+    def postings(self, spark: SparkSession) -> DataFrame:
+        # distinguish "layout never built" (clear error, not an
+        # unresolved-column failure downstream) from "built over an empty
+        # corpus" (empty relation WITH the bucket column, so searches
+        # return zero rows like the term layout does)
+        if not os.path.isdir(self.postings_path):
+            raise FileNotFoundError(
+                f"no doc-partitioned layout under {self.postings_path!r} — "
+                f"build one with build_docpart_index (CLI: build_submit.py "
+                f"--layout docpart|both), or query the term layout with "
+                f"engine dist/bmw"
+            )
+        df = super().postings(spark)
+        if "bucket" not in df.columns:  # the empty-build fallback schema
+            df = df.withColumn("bucket", F.col("salt").cast("int"))
+        return df
+
 
 def build_docpart_index(
     spark: SparkSession,
@@ -171,8 +188,20 @@ def rebuild_docpart_from_postings(spark: SparkSession, index_path: str,
     score identity between the two layouts."""
     from alexandria_spark.plans.checkpoint import atomic_swap_dir, recover_swap
 
-    n_buckets = n_buckets or cfg.num_shards
     idx = DocPartitionedIndex(index_path)
+    if n_buckets is None:
+        # honor the layout's own bucket count: meta.json when the docpart
+        # build wrote it last, else the existing partition dirs (a term
+        # rebuild may have clobbered meta), else the config default
+        try:
+            n_buckets = int(idx.meta().get("n_buckets") or 0) or None
+        except (OSError, ValueError):
+            n_buckets = None
+        if n_buckets is None and os.path.isdir(idx.postings_path):
+            seen = [int(d.split("=", 1)[1]) for d in os.listdir(idx.postings_path)
+                    if d.startswith("bucket=")]
+            n_buckets = max(seen) + 1 if seen else None
+        n_buckets = n_buckets or cfg.num_shards
     blocks = Index(index_path).postings(spark)
 
     def decode_fn(batches):

@@ -452,8 +452,6 @@ def q_posting_iteration(spark, sf_dir):
     summation order cannot blur the comparison. A codec or iteration bug
     that drops, duplicates, or mis-decodes any posting shifts a count or max
     and reddens the entry."""
-    import os
-
     from alexandria_spark.plans.build import tokenize_docs
 
     idx = _suite_index(spark, sf_dir)
@@ -548,16 +546,14 @@ def q_docpart_serve_full(spark, sf_dir):
     from alexandria_spark.operators.links import _n_docs, synth_domain_links, synth_links
     from alexandria_spark.operators.serving import serve_full_index
     from alexandria_spark.plans.docpart import DocPartEngine
-    from alexandria_spark.sources.docstore import load_doc_store
 
-    q_index_serve_full(spark, sf_dir)  # ensures store + caches exist
     dp = _suite_docpart(spark, sf_dir)
     ekey = ("docpart_engine", sf_dir)
     if ekey not in _IDX_CACHE:
         _IDX_CACHE[ekey] = DocPartEngine(spark, dp, _IDX_CFG)
     eng = _IDX_CACHE[ekey]
     docs = _docs(spark, sf_dir)
-    store = load_doc_store(spark, _IDX_CACHE[("store", sf_dir)])
+    store = _suite_store(spark, sf_dir)
     cfg = dataclasses.replace(
         _IDX_CFG, pre_result_limit=120, dedup_group_count=1, result_limit=40
     )

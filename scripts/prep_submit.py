@@ -58,9 +58,10 @@ def main():
     def stage(name, df, path):
         t = time.time()
         df.write.mode("overwrite").parquet(path)
-        n = spark.read.parquet(path).count()
-        out["stages"][name] = {"rows": n, "sec": round(time.time() - t, 2)}
-        return spark.read.parquet(path)
+        written = spark.read.parquet(path)
+        out["stages"][name] = {"rows": written.count(),
+                               "sec": round(time.time() - t, 2)}
+        return written
 
     docs = spark.read.parquet(args.input)
     out["input_rows"] = docs.count()

@@ -31,6 +31,11 @@ def test_pack_sequences_invariants(spark, corpus):
     packed = pack_sequences(chunks, seq_tokens=100, n_shards=8).collect()
     chunk_rows = chunks.collect()
 
+    # zero-token docs produce NO chunks (doc 60 is empty) — matches the
+    # oracle's exploded-token semantics; no empty training rows
+    assert not [r for r in chunk_rows if r.doc_id == 60]
+    assert all(r.n_tokens > 0 for r in chunk_rows)
+
     # token conservation: packing moves every chunk token exactly once
     assert sum(r.n_tokens for r in packed) == sum(r.n_tokens for r in chunk_rows)
     assert sum(r.n_items for r in packed) == len(chunk_rows)

@@ -346,3 +346,22 @@ def test_rank_identity_prime_shards_odd_waves(spark, tmp_path):
     got = [int(r["doc_id"]) for r in
            search(spark, idx, "def return", "and", k=10, cfg=cfg).collect()]
     assert victim not in got
+
+
+def test_build_over_binary_text(spark, tmp_path):
+    """A binary content column (raw scraped payloads, possibly malformed
+    UTF-8) feeds build_index directly: the ingest guard sanitizes to valid
+    UTF-8 (bad bytes -> U+FFFD) before tokenization, and valid words remain
+    searchable."""
+    rows = [
+        (1, "the quick brown fox".encode("utf-8")),
+        (2, "L\xe4gg i varukorg quick".encode("latin-1")),  # invalid UTF-8 byte
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text binary")
+    cfg = EngineConfig(num_shards=4, block_size=8, shuffle_partitions=4,
+                       build_waves=1, max_postings_per_salt=32)
+    idx = build_index(spark, docs, str(tmp_path / "bidx"), cfg)
+    got = {int(r["doc_id"]) for r in
+           search(spark, idx, "quick", "or", k=10, cfg=cfg).collect()}
+    assert got == {1, 2}  # the malformed doc's intact words are indexed
+    assert idx.meta()["n_docs"] == 2

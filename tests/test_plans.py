@@ -246,3 +246,10 @@ def test_docpart_guard_rails(spark, idx, tmp_path):
     full = search_docpart(spark, dp, "merge", "and", None).count()
     top = search_docpart(spark, dp, "merge", "and", 5).count()
     assert top == min(5, full) and full >= top
+
+    # a layout BUILT over an empty corpus is not an error — zero hits,
+    # like the term layout (only a never-built layout raises)
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    dp0 = build_docpart_index(spark, empty_docs, str(tmp_path / "dp0"), CFG,
+                              text_col="text")
+    assert search_docpart(spark, dp0, "merge", "and", 5).count() == 0

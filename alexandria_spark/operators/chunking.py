@@ -262,9 +262,103 @@ SELECT shard,
 FROM cum GROUP BY shard, CAST(floor((cum - n_tokens) / 256.0e0) AS BIGINT)
 """
 
+def q_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE driver-gate row for the whole training-data prep pipeline (folds
+    the former chunk_documents / train_val_split / stratified_sample /
+    pack_sequences entries): stratified mixture sample → train/val split →
+    chunk the sampled-train docs → pack their chunks into sequences. Every
+    stage's FULL output rides in one tall (stage, doc_id, k1, k2, n_tokens,
+    txt) relation, and the chunk/pack stages run over the docs the two
+    selection stages kept — so each stage is load-bearing twice (its own
+    rows AND the downstream restriction)."""
+    docs = documents(spark, sf_dir)
+    samp = stratified_sample(docs, _MIX)                       # doc_id, lang
+    split = train_val_split(docs)                              # doc_id, split
+    kept = samp.join(
+        split.where(F.col("split") == "train").select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    docs_kept = docs.join(kept.select("doc_id"), "doc_id", "left_semi")
+    chunks = chunk_documents(docs_kept, chunk_tokens=64, stride=48)
+    packed = pack_sequences(chunks, seq_tokens=256, n_shards=32)
+
+    z = F.lit(0).cast("long")
+    s1 = samp.select(F.lit("sample").alias("stage"), "doc_id",
+                     z.alias("k1"), z.alias("k2"), z.alias("n_tokens"),
+                     F.col("lang").alias("txt"))
+    s2 = split.select(F.lit("split").alias("stage"), "doc_id",
+                      z.alias("k1"), z.alias("k2"), z.alias("n_tokens"),
+                      F.col("split").alias("txt"))
+    s3 = chunks.select(F.lit("chunk").alias("stage"), "doc_id",
+                       F.col("chunk_id").alias("k1"), z.alias("k2"),
+                       "n_tokens", F.col("chunk_text").alias("txt"))
+    s4 = packed.select(
+        F.lit("pack").alias("stage"), F.col("first_doc").alias("doc_id"),
+        F.col("shard").cast("long").alias("k1"), F.col("seq_id").alias("k2"),
+        "n_tokens",
+        F.concat_ws(":", F.col("n_items").cast("string"),
+                    F.col("last_doc").cast("string")).alias("txt"),
+    )
+    return s1.unionByName(s2).unionByName(s3).unionByName(s4)
+
+
+SQL_PREP_PIPELINE = SQL_PRELUDE + """
+, samp AS (
+  SELECT doc_id, lang FROM documents
+  WHERE CAST(concat('0x', substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+        < CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 80 WHEN 'de' THEN 55 ELSE 0 END
+),
+spl AS (
+  SELECT doc_id,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10
+              THEN 'val' ELSE 'train' END AS split
+  FROM documents
+),
+kept AS (SELECT samp.doc_id FROM samp JOIN spl USING (doc_id) WHERE spl.split = 'train'),
+arr AS (
+  SELECT doc_id, list(term ORDER BY pos) AS toks FROM tok
+  WHERE doc_id IN (SELECT doc_id FROM kept) GROUP BY doc_id
+),
+n AS (
+  SELECT doc_id, toks,
+         greatest(CAST(ceil((len(toks) - 64) / 48.0e0) AS BIGINT) + 1, 1) AS nc
+  FROM arr
+),
+c AS (SELECT doc_id, toks, unnest(range(nc)) AS chunk_id FROM n),
+w AS (
+  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         toks[(chunk_id * 48 + 1):(chunk_id * 48 + 64)] AS win
+  FROM c
+),
+ch AS (
+  SELECT doc_id, chunk_id, len(win)::BIGINT AS n_tokens,
+         array_to_string(win, ' ') AS chunk_text
+  FROM w
+),
+sh AS (SELECT doc_id, chunk_id, n_tokens, CAST(doc_id % 32 AS INTEGER) AS shard FROM ch),
+cum AS (
+  SELECT shard, doc_id, chunk_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM sh
+),
+pk AS (
+  SELECT shard, CAST(floor((cum - n_tokens) / 256.0e0) AS BIGINT) AS seq_id,
+         count(*) AS n_items, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         min(doc_id) AS first_doc, max(doc_id) AS last_doc
+  FROM cum GROUP BY shard, CAST(floor((cum - n_tokens) / 256.0e0) AS BIGINT)
+)
+SELECT 'sample' AS stage, doc_id, CAST(0 AS BIGINT) AS k1, CAST(0 AS BIGINT) AS k2,
+       CAST(0 AS BIGINT) AS n_tokens, lang AS txt FROM samp
+UNION ALL
+SELECT 'split', doc_id, 0, 0, 0, split FROM spl
+UNION ALL
+SELECT 'chunk', doc_id, chunk_id, 0, n_tokens, chunk_text FROM ch
+UNION ALL
+SELECT 'pack', first_doc, CAST(shard AS BIGINT), seq_id, n_tokens,
+       CAST(n_items AS VARCHAR) || ':' || CAST(last_doc AS VARCHAR) FROM pk
+"""
+
 ENTRIES = {
-    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
-    "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
-    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "prep_pipeline": (q_prep_pipeline, SQL_PREP_PIPELINE),
 }

@@ -169,7 +169,24 @@ SELECT v AS vertex, (count(DISTINCT source) + 1)::BIGINT AS reach
 FROM r WHERE source != v GROUP BY v
 """
 
+def q_graph_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE driver-gate row for both graph operators (folds the former
+    harmonic_centrality / hyperball_reach entries): HyperBall's fixpoint
+    reach per vertex joined with the depth-3 exact harmonic centrality
+    (vertices reachable only beyond depth 3 carry harmonic3 = 0)."""
+    h = q_harmonic(spark, sf_dir).withColumnRenamed("harmonic", "harmonic3")
+    r = q_hyper_ball_reach(spark, sf_dir)
+    return r.join(h, "vertex", "left").select(
+        "vertex", F.coalesce(F.col("harmonic3"), F.lit(0.0)).alias("harmonic3"),
+        "reach",
+    )
+
+
+SQL_GRAPH_CENTRALITY = (
+    f"SELECT r.vertex, coalesce(h.harmonic, 0.0e0) AS harmonic3, r.reach"
+    f" FROM ({SQL_HYPERBALL_REACH}) r LEFT JOIN ({SQL_HARMONIC}) h USING (vertex)"
+)
+
 ENTRIES = {
-    "harmonic_centrality": (q_harmonic, SQL_HARMONIC),
-    "hyperball_reach": (q_hyper_ball_reach, SQL_HYPERBALL_REACH),
+    "graph_centrality": (q_graph_centrality, SQL_GRAPH_CENTRALITY),
 }

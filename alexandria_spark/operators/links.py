@@ -207,7 +207,26 @@ FROM base b JOIN documents d USING (doc_id)
 LEFT JOIN bst ON bst.target_domain = d.source
 """
 
+def q_link_boosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE driver-gate row for both boost channels (folds the former
+    url_link_boost / domain_link_boost entries): the URL-level and
+    domain-level boosted result sets, tagged by channel."""
+    u = q_url_link_boost(spark, sf_dir)
+    d = q_domain_link_boost(spark, sf_dir)
+    return (
+        u.select(F.lit("url").alias("channel"), "doc_id",
+                 F.lit("").alias("source"), "score")
+        .unionByName(
+            d.select(F.lit("domain").alias("channel"), "doc_id", "source", "score"))
+    )
+
+
+SQL_LINK_BOOSTS = (
+    f"SELECT 'url' AS channel, doc_id, '' AS source, score"
+    f" FROM ({SQL_URL_LINK_BOOST}) UNION ALL "
+    f"SELECT 'domain', doc_id, source, score FROM ({SQL_DOMAIN_LINK_BOOST})"
+)
+
 ENTRIES = {
-    "url_link_boost": (q_url_link_boost, SQL_URL_LINK_BOOST),
-    "domain_link_boost": (q_domain_link_boost, SQL_DOMAIN_LINK_BOOST),
+    "link_boosts": (q_link_boosts, SQL_LINK_BOOSTS),
 }

@@ -301,10 +301,67 @@ SELECT source, doc_id, score, snippet FROM g CROSS JOIN nd
 WHERE (in_cap AND gn <= 30) OR ((NOT in_cap) AND gn <= greatest(30 - nd, 0))
 """
 
+def q_serve_recompute_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE driver-gate row for the whole recompute-path serving surface
+    (folds the former count_matches / distinct_counts / bm25_source_boost /
+    serve_pipeline_limits / serve_topk_dedup_decorated entries so the
+    driver's ~50-row sweep budget covers every operator): each stage's full
+    output re-projected into a tall (stage, k, num, txt) relation. A bug in
+    ANY folded operator changes its stage's rows and reddens the entry."""
+    docs = documents(spark, sf_dir)
+
+    def scalar_rows(df: DataFrame, stage: str) -> DataFrame:
+        cols = df.columns
+        return df.select(
+            F.explode(F.array(*[
+                F.struct(F.lit(c).alias("k"), F.col(c).cast("double").alias("num"))
+                for c in cols
+            ])).alias("kv")
+        ).select(
+            F.lit(stage).alias("stage"), F.col("kv.k").alias("k"),
+            F.col("kv.num").alias("num"), F.lit("").alias("txt"),
+        )
+
+    def serve_rows(df: DataFrame, stage: str) -> DataFrame:
+        return df.select(
+            F.lit(stage).alias("stage"),
+            F.col("doc_id").cast("string").alias("k"),
+            F.col("score").cast("double").alias("num"),
+            F.concat_ws("|", "source", "snippet").alias("txt"),
+        )
+
+    from alexandria_spark.config import EngineConfig
+
+    cfg = EngineConfig(pre_result_limit=100, dedup_group_count=2, result_limit=30)
+    boosted = source_boosted_scores(docs, BOOST_TERM).select(
+        F.lit("boost").alias("stage"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("score").cast("double").alias("num"),
+        F.lit("").alias("txt"),
+    )
+    return (
+        scalar_rows(count_matches(docs, Q_COUNT), "counts")
+        .unionByName(scalar_rows(distinct_counts(docs), "distinct"))
+        .unionByName(boosted)
+        .unionByName(serve_rows(serve_pipeline(docs, [BOOST_TERM], cfg), "pipeline"))
+        .unionByName(serve_rows(serve_topk(docs, Q_SERVE), "topk"))
+    )
+
+
+SQL_SERVE_RECOMPUTE_FULL = " UNION ALL ".join([
+    f"SELECT 'counts' AS stage, 'n_and' AS k, CAST(n_and AS DOUBLE) AS num,"
+    f" '' AS txt FROM ({SQL_COUNT_MATCHES})",
+    f"SELECT 'counts', 'n_or', CAST(n_or AS DOUBLE), '' FROM ({SQL_COUNT_MATCHES})",
+    f"SELECT 'distinct', 'n_docs', CAST(n_docs AS DOUBLE), '' FROM ({SQL_DISTINCT_COUNTS})",
+    f"SELECT 'distinct', 'n_terms', CAST(n_terms AS DOUBLE), '' FROM ({SQL_DISTINCT_COUNTS})",
+    f"SELECT 'boost', CAST(doc_id AS VARCHAR), CAST(score AS DOUBLE), ''"
+    f" FROM ({SQL_BOOSTED})",
+    f"SELECT 'pipeline', CAST(doc_id AS VARCHAR), CAST(score AS DOUBLE),"
+    f" source || '|' || snippet FROM ({SQL_SERVE_PIPELINE})",
+    f"SELECT 'topk', CAST(doc_id AS VARCHAR), CAST(score AS DOUBLE),"
+    f" source || '|' || snippet FROM ({SQL_SERVE_TOPK})",
+])
+
 ENTRIES = {
-    "count_matches": (q_count_matches, SQL_COUNT_MATCHES),
-    "serve_pipeline_limits": (q_serve_pipeline, SQL_SERVE_PIPELINE),
-    "distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
-    "bm25_source_boost": (q_boosted, SQL_BOOSTED),
-    "serve_topk_dedup_decorated": (q_serve_topk, SQL_SERVE_TOPK),
+    "serve_recompute_full": (q_serve_recompute_full, SQL_SERVE_RECOMPUTE_FULL),
 }

@@ -223,18 +223,29 @@ FROM ptf JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN pdf_
 """
 
 
+def _score_e4(col):
+    """Per-row score quantized to an int (1e-4 grid) BEFORE the group sum, so
+    the aggregate is an order-independent INTEGER sum — a float sum over many
+    addends per group is banned in oracle compares (Spark and DuckDB merge
+    partials in different orders; a group near a rounding boundary reddens).
+    The per-row product is exact: scores sit on the f32 grid (24-bit
+    mantissa) and ×10000 needs 14 more bits, well under f64's 53."""
+    return F.round(col.cast("double") * 10000, 0).cast("long")
+
+
 def q_group_by_source(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     s = _scored(spark, sf_dir).where(F.col("term") == Q_SINGLE)
     j = s.join(docs.select("doc_id", "source"), "doc_id")
     return j.groupBy("source").agg(
-        _r4(F.sum(F.col("score").cast("double"))).alias("score_sum"),
+        F.sum(_score_e4(F.col("score"))).alias("score_sum_e4"),
         F.count("*").alias("cnt"),
     )
 
 
 SQL_GROUP_BY_SOURCE = SQL_PRELUDE + (
-    f"SELECT d.source, round(sum(CAST(s.score AS DOUBLE)), 4) AS score_sum, "
+    f"SELECT d.source, CAST(sum(CAST(round(CAST(s.score AS DOUBLE) * 10000, 0) "
+    f"AS BIGINT)) AS BIGINT) AS score_sum_e4, "
     f"count(*) AS cnt FROM scored s JOIN documents d USING (doc_id) "
     f"WHERE s.term = '{Q_SINGLE}' GROUP BY d.source"
 )
@@ -650,7 +661,7 @@ def q_index_group_by_source(spark, sf_dir):
     r = search(spark, idx, Q_SINGLE, mode="or", k=None, cfg=_IDX_CFG)
     j = r.join(store.select("doc_id", "source"), "doc_id")
     return j.groupBy("source").agg(
-        _r4(F.sum(F.col("score").cast("double"))).alias("score_sum"),
+        F.sum(_score_e4(F.col("score"))).alias("score_sum_e4"),
         F.count("*").alias("cnt"),
     )
 
@@ -708,21 +719,127 @@ def q_merge_search_topk(spark, sf_dir):
     return r.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
 
 
+# ------------------------------------------------- folded multi-op entries
+#
+# The driver sweep records ~50 rows; round 3 had 65 entries, so 15 operators
+# shipped without a driver row. These folds compress same-shaped operator
+# families into ONE entry each WITHOUT losing coverage: every folded
+# operator's full output rides in the union, tagged by a discriminator
+# column, so a bug in any of them still reddens its entry.
+
+def q_corpus_doc_lengths(spark, sf_dir):
+    """doc_lengths + corpus_stats in one relation: every doc's length with
+    the corpus scalars broadcast onto each row."""
+    dl = q_doc_lengths(spark, sf_dir)
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("doc_len").alias("avg_dl"))
+    return dl.crossJoin(F.broadcast(stats))
+
+
+SQL_CORPUS_DOC_LENGTHS = SQL_PRELUDE + (
+    "SELECT doc_id, doc_len, n_docs, avg_dl FROM dl CROSS JOIN stats"
+)
+
+
+def q_term_counts_modes(spark, sf_dir):
+    """Base + blend-expanded tokenization in one relation."""
+    base = q_term_counts(spark, sf_dir)
+    exp = q_expanded_term_counts(spark, sf_dir)
+    return (
+        base.select(F.lit("base").alias("variant"), "doc_id", "term", "tf")
+        .unionByName(
+            exp.select(F.lit("expanded").alias("variant"), "doc_id", "term", "tf"))
+    )
+
+
+SQL_TERM_COUNTS_MODES = (
+    f"SELECT 'base' AS variant, doc_id, term, tf FROM ({SQL_TERM_COUNTS})"
+    f" UNION ALL "
+    f"SELECT 'expanded', doc_id, term, tf FROM ({SQL_EXPANDED_TERM_COUNTS})"
+)
+
+
+def q_bm25_modes(spark, sf_dir):
+    """Recompute-path BM25 single / AND / OR in one relation."""
+    single = q_bm25_single(spark, sf_dir).select(
+        F.lit("single").alias("mode"), "doc_id", "score",
+        F.lit(1).cast("long").alias("n_terms"))
+    a = q_bm25_and(spark, sf_dir).select(
+        F.lit("and").alias("mode"), "doc_id", "score", "n_terms")
+    o = q_bm25_or(spark, sf_dir).select(
+        F.lit("or").alias("mode"), "doc_id", "score", "n_terms")
+    return single.unionByName(a).unionByName(o)
+
+
+SQL_BM25_MODES = (
+    f"SELECT 'single' AS mode, doc_id, score, CAST(1 AS BIGINT) AS n_terms"
+    f" FROM ({SQL_BM25_SINGLE}) UNION ALL "
+    f"SELECT 'and', doc_id, score, n_terms FROM ({SQL_BM25_AND}) UNION ALL "
+    f"SELECT 'or', doc_id, score, n_terms FROM ({SQL_BM25_OR})"
+)
+
+
+def q_engines_search_topk(spark, sf_dir):
+    """The SAME AND top-k through three serving engines — distributed
+    block-max WAND (search_bmw), the warm doc-partitioned engine, and the
+    RAM-pinned LocalIndex — each tagged; all three must equal the oracle."""
+    bmw = q_bmw_search_topk(spark, sf_dir)
+    dp = q_docpart_search_topk(spark, sf_dir)
+    li = q_local_index_topk(spark, sf_dir)
+    return (
+        bmw.select(F.lit("bmw").alias("engine"), "doc_id", "score")
+        .unionByName(dp.select(F.lit("docpart").alias("engine"), "doc_id", "score"))
+        .unionByName(li.select(F.lit("local").alias("engine"), "doc_id", "score"))
+    )
+
+
+def _sql_engines_search_topk():
+    return (
+        f"SELECT 'bmw' AS engine, doc_id, score FROM ({SQL_INDEX_SEARCH_TOPK})"
+        f" UNION ALL "
+        f"SELECT 'docpart', doc_id, score FROM ({SQL_INDEX_SEARCH_TOPK})"
+        f" UNION ALL "
+        f"SELECT 'local', doc_id, score FROM ({SQL_INDEX_SEARCH_TOPK})"
+    )
+
+
+def q_impact_topk(spark, sf_dir):
+    """Impact-ordered layout single-term + OR top-k in one relation."""
+    s = q_impact_single_topk(spark, sf_dir)
+    o = q_impact_or_topk(spark, sf_dir)
+    return (
+        s.select(F.lit("single").alias("mode"), "doc_id", "score")
+        .unionByName(o.select(F.lit("or").alias("mode"), "doc_id", "score"))
+    )
+
+
+def _sql_impact_topk():
+    return (
+        f"SELECT 'single' AS mode, doc_id, score FROM ({SQL_IMPACT_SINGLE_TOPK})"
+        f" UNION ALL "
+        f"SELECT 'or', doc_id, score FROM ({SQL_INDEX_SEARCH_OR_TOPK})"
+    )
+
+
+# Ordering: the driver sweep has a hard ~50-row budget that historically ran
+# out at the TAIL. With 49 entries everything fits, but as insurance the
+# entries that have NEVER had (or are missing) a driver row lead, streaming
+# entries go next (round 2 lost the final entry), heavy index entries sit
+# mid-dict, and the cheap analysis/similarity entries close.
 ENTRIES: dict[str, tuple] = {
-    "content_sha256": (q_content_sha256, SQL_CONTENT_SHA256),
-    # streaming-window entries live EARLY in the sweep: round 2's driver run
-    # recorded no row at all for the final dict entry (user_sessions), so the
-    # tail of the sweep is where a driver-side budget runs out first.
+    # never driver-gated before round 4
+    **membership.ENTRIES,            # bloom_new_docs
+    **chunking.ENTRIES,              # prep_pipeline (stratified+pack never gated)
+    **multimodal.ENTRIES,            # multimodal_meta, multimodal_features
+    **serving.ENTRIES,               # serve_recompute_full (5 folded ops)
+    **graph.ENTRIES,                 # graph_centrality
+    **links.ENTRIES,                 # link_boosts
     **_stream_windows.ENTRIES,
-    "doc_lengths": (q_doc_lengths, SQL_DOC_LENGTHS),
-    "term_counts": (q_term_counts, SQL_TERM_COUNTS),
-    "expanded_term_counts": (q_expanded_term_counts, SQL_EXPANDED_TERM_COUNTS),
+    "content_sha256": (q_content_sha256, SQL_CONTENT_SHA256),
+    "corpus_doc_lengths": (q_corpus_doc_lengths, SQL_CORPUS_DOC_LENGTHS),
+    "term_counts_modes": (q_term_counts_modes, SQL_TERM_COUNTS_MODES),
     "term_doc_freq": (q_term_doc_freq, SQL_TERM_DOC_FREQ),
-    "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "top_terms": (q_top_terms, SQL_TOP_TERMS),
-    "bm25_single_term": (q_bm25_single, SQL_BM25_SINGLE),
-    "bm25_and": (q_bm25_and, SQL_BM25_AND),
-    "bm25_or": (q_bm25_or, SQL_BM25_OR),
+    "bm25_modes": (q_bm25_modes, SQL_BM25_MODES),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "bm25_phrase": (q_bm25_phrase, SQL_BM25_PHRASE),
     "phrase_bigram": (q_phrase_bigram, SQL_PHRASE_BIGRAM),
@@ -730,29 +847,20 @@ ENTRIES: dict[str, tuple] = {
     "top_per_source": (q_top_per_source, SQL_TOP_PER_SOURCE),
     "index_search_topk": (q_index_search_topk, SQL_INDEX_SEARCH_TOPK),
     "index_search_or_topk": (q_index_search_or_topk, SQL_INDEX_SEARCH_OR_TOPK),
-    "bmw_search_topk": (q_bmw_search_topk, SQL_INDEX_SEARCH_TOPK),
-    "docpart_search_topk": (q_docpart_search_topk, SQL_INDEX_SEARCH_TOPK),
-    "local_index_topk": (q_local_index_topk, SQL_INDEX_SEARCH_TOPK),
+    "engines_search_topk": (q_engines_search_topk, _sql_engines_search_topk()),
     "index_doc_lengths": (q_index_doc_lengths, SQL_INDEX_DOC_LENGTHS),
     "index_term_stats": (q_index_term_stats, SQL_INDEX_TERM_STATS),
     "posting_iteration": (q_posting_iteration, SQL_POSTING_ITERATION),
     "index_serve_full": (q_index_serve_full, _sql_index_serve_full()),
     "docpart_serve_full": (q_docpart_serve_full, _sql_index_serve_full()),
-    "impact_single_topk": (q_impact_single_topk, SQL_IMPACT_SINGLE_TOPK),
-    "impact_or_topk": (q_impact_or_topk, SQL_INDEX_SEARCH_OR_TOPK),
+    "impact_topk": (q_impact_topk, _sql_impact_topk()),
     "merge_search_topk": (q_merge_search_topk, SQL_INDEX_SEARCH_TOPK),
     "index_phrase": (q_index_phrase, SQL_BM25_PHRASE),
     "index_group_by_source": (q_index_group_by_source, SQL_GROUP_BY_SOURCE),
-    # training-data pipeline operators (operators/{dedup,analysis,similarity,multimodal})
+    # training-data pipeline operators (operators/{dedup,analysis,similarity})
     **dedup.ENTRIES,
     **analysis.ENTRIES,
     **similarity.ENTRIES,
-    **multimodal.ENTRIES,
-    **serving.ENTRIES,
-    **graph.ENTRIES,
-    **links.ENTRIES,
-    **chunking.ENTRIES,
-    **membership.ENTRIES,
 }
 
 

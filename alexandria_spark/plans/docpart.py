@@ -125,14 +125,18 @@ def _scored_to_docpart_blocks(scored: DataFrame, cfg: EngineConfig) -> DataFrame
     parts = scored.repartition(cfg.shuffle_partitions, "salt").sortWithinPartitions(
         F.col("salt"), F.col("term_id"), F.col("doc_id").bitwiseXOR(F.lit(MIN_I64))
     )
-    block_size, keep_tf = cfg.block_size, cfg.keep_tf
+    block_size = cfg.block_size
+    # a source that carries no tf column (e.g. re-derived from a
+    # keep_tf=False index) encodes without tf regardless of cfg
+    keep_tf = cfg.keep_tf and "tf" in scored.columns
+    cols = [c for c in ("term_id", "salt", "doc_id", "score", "tf")
+            if c in scored.columns]
 
     def fn(batches):
         # one bucket's rows arrive contiguously; group integrity across Arrow
         # batches is handled the same way as the term layout (tail buffering)
         buf: list[pd.DataFrame] = []
         tail_key = None
-        cols = ["term_id", "salt", "doc_id", "score", "tf"]
 
         def _finish(pdf):
             # build_blocks groups by (term_id, salt): salt is constant per
@@ -202,26 +206,40 @@ def rebuild_docpart_from_postings(spark: SparkSession, index_path: str,
                     if d.startswith("bucket=")]
             n_buckets = max(seen) + 1 if seen else None
         n_buckets = n_buckets or cfg.num_shards
-    blocks = Index(index_path).postings(spark)
+    src_idx = Index(index_path)
+    # keep_tf honesty: a keep_tf=False source stores NO tf payload, and
+    # decode_blocks would silently backfill tf=0 — a maintenance rebuild
+    # must not diverge from a fresh build by writing zeroed tfs. Derive the
+    # effective keep_tf from the source's own build config.
+    try:
+        src_keep_tf = bool(getattr(src_idx.config(), "keep_tf", True))
+    except (OSError, ValueError, KeyError):
+        src_keep_tf = True
+    want_tf = cfg.keep_tf and src_keep_tf
+    blocks = src_idx.postings(spark)
 
     def decode_fn(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            dec = decode_blocks(pdf, want_tf=True)
-            yield dec[["term_id", "doc_id", "score", "tf"]]
+            dec = decode_blocks(pdf, want_tf=want_tf)
+            yield dec[["term_id", "doc_id", "score"]
+                      + (["tf"] if want_tf else [])]
 
     import pyspark.sql.types as T
 
-    dec_schema = T.StructType([
-        T.StructField("term_id", T.LongType()),
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("score", T.FloatType()),
-        T.StructField("tf", T.LongType()),
-    ])
+    dec_schema = T.StructType(
+        [
+            T.StructField("term_id", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("score", T.FloatType()),
+        ]
+        + ([T.StructField("tf", T.LongType())] if want_tf else [])
+    )
     scored = blocks.mapInPandas(decode_fn, dec_schema).withColumn(
         "salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast("int")
-    ).select("term_id", "salt", "doc_id", "tf", "score")
+    ).select("term_id", "salt", "doc_id", "score",
+             *(["tf"] if want_tf else []))
     out = _scored_to_docpart_blocks(scored, cfg)
     recover_swap(idx.postings_path)
     tmp = idx.postings_path.rstrip("/") + "_rebuilding"

@@ -150,6 +150,24 @@ def build_impact_postings(spark: SparkSession, index: Index,
     return out_path
 
 
+def _pinned_scan(spark: SparkSession, index: Index, table: str):
+    """ONE snapshot-pinned scan for a whole query. The cold path used to
+    issue two independent directory reads (metadata scan, then lazy payload
+    fetches); a partial refresh rewriting the shard between those jobs could
+    make the payload fetch miss keys the metadata promised (KeyError) or
+    return payloads inconsistent with the metadata ordering. Pinning both to
+    the HEAD snapshot's file manifest makes the pair read one immutable
+    state; indexes without a snapshot log fall back to the directory read."""
+    from alexandria_spark.plans import snapshots
+
+    try:
+        return snapshots.read_table(spark, index.path, table)
+    except (ValueError, FileNotFoundError, OSError):
+        if table == "postings":
+            return index.postings(spark)
+        return spark.read.parquet(os.path.join(index.path, table))
+
+
 def _impact_meta(spark: SparkSession, index: Index, tid: int,
                  num_shards: int, _blocks=None) -> pd.DataFrame:
     """Metadata-only scan of a term's impact blocks, sorted by descending
@@ -261,6 +279,8 @@ def impact_single_topk(spark: SparkSession, index: Index, query: str,
     if len(term_ids) != 1:
         raise ValueError("impact_single_topk serves single-term queries")
     tid = term_ids[0]
+    if _blocks is None:  # pin meta scan + payload fetches to one snapshot
+        _blocks = _pinned_scan(spark, index, "postings_impact")
     meta = _impact_meta(spark, index, tid, cfg.num_shards, _blocks)
     if len(meta) == 0:
         if _stats is not None:
@@ -337,6 +357,10 @@ def impact_or_topk(spark: SparkSession, index: Index, query: str,
         return impact_single_topk(spark, index, query, k, cfg, _stats, _blocks)
     deleted_u = _deleted_u(spark, index)
 
+    if _blocks is None:  # pin meta scans + payload fetches to one snapshot
+        _blocks = _pinned_scan(spark, index, "postings_impact")
+    if _doc_blocks is None:  # same for the phase-2 completion table
+        _doc_blocks = _pinned_scan(spark, index, "postings")
     metas = {t: _impact_meta(spark, index, t, cfg.num_shards, _blocks)
              for t in term_ids}
     readers = {

@@ -66,6 +66,14 @@ RESULT_SCHEMA = StructType(
 )
 
 
+# Driver-side metadata fetches are guarded at this many rows: pruning pays
+# off only while block metadata is driver-sized. A 100-TB hot-term query
+# (millions of blocks across salts) must not ship tens of MB of metadata to
+# the driver — past the guard, search() skips pruning and search_bmw() falls
+# back to search()'s executor-side exact path.
+_META_GUARD_ROWS = 200_000
+
+
 def _shard_of(term_id: int, num_shards: int) -> int:
     return int(np.int64(term_id).astype(np.uint64) % np.uint64(num_shards))
 
@@ -174,8 +182,8 @@ def search(
         # small; a pathological query over huge lists skips it (the decode
         # path stays exact either way).
         meta_df = blocks.select("term_id", "salt", "block_id", "min_doc", "max_doc")
-        rows = meta_df.limit(200_001).toPandas()
-        meta = None if len(rows) > 200_000 else rows
+        rows = meta_df.limit(_META_GUARD_ROWS + 1).toPandas()
+        meta = None if len(rows) > _META_GUARD_ROWS else rows
     else:
         meta = None
 
@@ -305,7 +313,13 @@ def search_bmw(
     )
     meta = blocks.select(
         "term_id", "salt", "block_id", "min_doc", "max_doc", "max_score", "n"
-    ).toPandas()
+    ).limit(_META_GUARD_ROWS + 1).toPandas()
+    if len(meta) > _META_GUARD_ROWS:
+        # metadata overflow (hot terms at scale): the bucket-pruning plan
+        # would stall the driver — serve exactly via the fully distributed
+        # path instead (same result contract: score desc, unsigned doc asc)
+        r = search(spark, index, query, mode=mode, k=k, cfg=cfg)
+        return [(int(row["doc_id"]), float(row["score"])) for row in r.collect()]
     if len(meta) == 0 or (
         mode == "and" and set(meta["term_id"]) != set(term_ids)
     ):

@@ -141,15 +141,30 @@ def read_table(spark: SparkSession, index_path: str, table: str,
     return spark.read.option("basePath", tdir).parquet(*files)
 
 
-def expire_snapshots(index_path: str, keep_last: int = 3) -> dict:
+def _dir_age_sec(path: str) -> float:
+    """Age of a directory tree = seconds since the NEWEST mtime inside it
+    (an in-flight writer keeps touching its staging dir, so the newest
+    mtime is the honest liveness signal; the dir's own mtime only tracks
+    direct-child creation)."""
+    newest = os.path.getmtime(path)
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                newest = max(newest, os.path.getmtime(os.path.join(root, f)))
+            except OSError:
+                pass
+    return time.time() - newest
+
+
+def expire_snapshots(index_path: str, keep_last: int = 3,
+                     leftover_min_age_sec: float = 6 * 3600.0) -> dict:
     """Iceberg's ``expireSnapshots`` analogue: retain the newest
     ``keep_last`` snapshots (always including HEAD), drop the older
     snapshot records, and delete every data file that (a) is referenced by
     at least one expired snapshot and (b) is referenced by NO retained
-    snapshot. Files unknown to any snapshot are never touched (a concurrent
-    in-flight writer's output stays safe), so at a real refresh cadence the
-    warehouse stops growing without bound while retained history remains
-    fully queryable.
+    snapshot. Files unknown to any snapshot are never touched, so at a real
+    refresh cadence the warehouse stops growing without bound while
+    retained history remains fully queryable.
 
     Note on reachability: ``commit_snapshot`` manifests a table's whole
     directory and rebuilds retire old files via atomic dir swap, so in
@@ -158,6 +173,14 @@ def expire_snapshots(index_path: str, keep_last: int = 3) -> dict:
     garbage this call actually reclaims is (a) expired snapshot records and
     (b) crash leftovers: ``<table>_rebuilding`` staging dirs and
     ``<table>_old`` swap remnants (after ``recover_swap`` adjudicates them).
+
+    Leftover staging/swap dirs are AGE-GATED (Iceberg's
+    ``remove_orphan_files`` does the same): a ``_rebuilding``/``_old`` dir
+    is deleted only when nothing inside it has been modified for
+    ``leftover_min_age_sec`` (default 6 h) — so an expire run concurrent
+    with an in-flight rebuild/refresh/compact leaves the live writer's
+    staging output alone instead of failing it mid-write. Genuine crash
+    leftovers age past the gate and are reclaimed on a later run.
 
     Returns {"expired": [ids], "deleted_files": n, "retained": [ids],
     "leftover_dirs": [paths]}.
@@ -169,12 +192,19 @@ def expire_snapshots(index_path: str, keep_last: int = 3) -> dict:
     leftovers = []
     for t in TABLES:
         tdir = os.path.join(index_path, t)
-        recover_swap(tdir)  # a crashed swap either restores or drops _old
         for suffix in ("_rebuilding", "_old"):
             stray = tdir + suffix
+            if not os.path.isdir(stray):
+                continue
+            if _dir_age_sec(stray) < leftover_min_age_sec:
+                continue  # possibly a live writer — leave it for a later run
+            if suffix == "_old":
+                # a crashed swap either restores _old (dst missing) or
+                # drops it; only adjudicated once it is provably stale
+                recover_swap(tdir)
             if os.path.isdir(stray):
                 shutil.rmtree(stray)
-                leftovers.append(os.path.relpath(stray, index_path))
+            leftovers.append(os.path.relpath(stray, index_path))
 
     recs = history(index_path)
     if not recs:

@@ -186,11 +186,17 @@ def refresh_index(spark: SparkSession, index_path: str,
         "wave", F.pmod(F.col("shard"), F.lit(cfg.build_waves))
     )
     # wave is a pure function of shard, so dynamic overwrite replaces
-    # exactly the touched shards' partitions and nothing else
+    # exactly the touched shards' partitions and nothing else; the session
+    # setting is restored afterwards so later plain overwrites in the same
+    # session don't silently become dynamic
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    blocks.write.partitionBy("wave", "shard").mode("overwrite").parquet(
-        idx.postings_path
-    )
+    try:
+        blocks.write.partitionBy("wave", "shard").mode("overwrite").parquet(
+            idx.postings_path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     # doc_lengths: append rows for docs the touched shards introduced (the
     # streaming contract is append-only new docs; a doc's full token set
     # lands in the same batch, so its doc_len is complete here)

@@ -26,6 +26,9 @@ def main():
     p.add_argument("--op", required=True,
                    choices=["refresh-partial", "refresh-full", "compact", "expire"])
     p.add_argument("--keep-last", type=int, default=3)
+    p.add_argument("--leftover-min-age-sec", type=float, default=6 * 3600.0,
+                   help="expire only touches _rebuilding/_old staging dirs "
+                        "idle for at least this long (live-writer safety)")
     args = p.parse_args()
 
     from alexandria_spark.plans.build import Index
@@ -48,7 +51,8 @@ def main():
     else:
         from alexandria_spark.plans.snapshots import expire_snapshots
 
-        detail = expire_snapshots(args.index, keep_last=args.keep_last)
+        detail = expire_snapshots(args.index, keep_last=args.keep_last,
+                                  leftover_min_age_sec=args.leftover_min_age_sec)
     print(json.dumps({
         "index": args.index, "op": args.op,
         "wall_sec": round(time.time() - t0, 2), **detail,

@@ -224,6 +224,50 @@ def test_bmw_rank_identity(spark, synth):
         assert np.allclose([s for _, s in got], [s for _, s in exp], rtol=1e-9), (q, mode)
 
 
+def test_docpart_rebuild_honors_source_keep_tf(spark, tmp_path):
+    """A maintenance rebuild over a keep_tf=False index must not fabricate
+    zeroed tf payloads (decode_blocks backfills tf=0 when the source blocks
+    carry none): the rebuilt doc layout stores NO tf bytes, matching what a
+    fresh keep_tf=False build would store."""
+    import dataclasses
+
+    from alexandria_spark.plans.docpart import rebuild_docpart_from_postings
+
+    cfg_no_tf = dataclasses.replace(CFG, keep_tf=False)
+    pdf = synth_corpus_pdf(n_docs=40, seed=77)
+    docs = with_doc_ids(spark.createDataFrame(pdf))
+    idx = build_index(spark, docs, str(tmp_path / "idx"), cfg_no_tf,
+                      text_col="content")
+    # maintenance cfg CLAIMS keep_tf=True; the source has no tf payload, so
+    # the rebuild must degrade to tf-less blocks instead of writing zeros
+    dp = rebuild_docpart_from_postings(
+        spark, idx.path, dataclasses.replace(cfg_no_tf, keep_tf=True))
+    tf_bytes = dp.postings(spark).select("tfs").toPandas()["tfs"]
+    assert len(tf_bytes) > 0
+    assert all(len(b) == 0 for b in tf_bytes)
+
+
+def test_bmw_metadata_guard_fallback(spark, synth, monkeypatch):
+    """When a query's block metadata exceeds the driver guard, search_bmw
+    must fall back to search()'s fully distributed exact path and return
+    identical results (same rank, same scores) — a 100-TB hot-term query
+    must never ship unbounded metadata to the driver."""
+    from alexandria_spark.plans import query as qmod
+
+    idx, oracle = synth
+    baseline = {
+        (q, mode): qmod.search_bmw(spark, idx, q, mode, k=10, cfg=CFG,
+                                   n_buckets=16)
+        for q, mode in QUERIES[:4]
+    }
+    monkeypatch.setattr(qmod, "_META_GUARD_ROWS", 1)  # force the overflow path
+    for (q, mode), exp in baseline.items():
+        got = qmod.search_bmw(spark, idx, q, mode, k=10, cfg=CFG, n_buckets=16)
+        assert [d for d, _ in got] == [d for d, _ in exp], (q, mode)
+        assert np.allclose([s for _, s in got], [s for _, s in exp],
+                           rtol=1e-9), (q, mode)
+
+
 def test_docpart_rank_identity(spark, synth, tmp_path_factory):
     from alexandria_spark.plans.docpart import build_docpart_index, search_docpart
 

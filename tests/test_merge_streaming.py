@@ -151,8 +151,13 @@ def test_partial_refresh_reblocks_only_touched_shards(spark, tmp_path):
     ingest_stream(spark, in_dir, idx_path, docs.schema, CFG)
     assert pending_shards(idx_path) == [shard]
 
+    mode_before = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     idx = refresh_index(spark, idx_path, CFG, mode="partial")
     assert pending_shards(idx_path) == []  # consumed
+    # partial refresh must not leak dynamic partitionOverwriteMode into the
+    # session (later plain overwrites would silently become dynamic)
+    assert spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static") == mode_before
 
     after = file_state(postings_root)
     prefix = f"wave={shard % CFG.build_waves}/shard={shard}/"

@@ -103,7 +103,13 @@ def test_expire_snapshots_gc(spark, tmp_path):
     os.makedirs(stray, exist_ok=True)
     open(os.path.join(stray, "part-junk.parquet"), "w").close()
 
-    res = expire_snapshots(idx.path, keep_last=1)
+    # the leftover age gate: a FRESH staging dir (possibly a live concurrent
+    # writer) must survive a default-gated expire run untouched
+    gated = expire_snapshots(idx.path, keep_last=100)
+    assert os.path.exists(stray)
+    assert gated["leftover_dirs"] == []
+
+    res = expire_snapshots(idx.path, keep_last=1, leftover_min_age_sec=0.0)
     assert old_head in res["expired"]
     assert head_snapshot_id(idx.path) in res["retained"]
     assert "postings_rebuilding" in res["leftover_dirs"]

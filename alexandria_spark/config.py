@@ -46,6 +46,14 @@ class EngineConfig:
     build_waves: int = 4              # checkpoint granularity for shard builds
     shuffle_partitions: int = 32
 
+    # --- incremental maintenance ---
+    # partial refreshes keep corpus-global BM25 stats (n_docs/avg_dl) at
+    # their last-full-refresh values; once the docs appended since that
+    # anchor exceed this fraction of the anchored n_docs, a partial refresh
+    # auto-escalates to a full refresh (the reference merger daemon's final
+    # append+merge, merger.cpp:176-181, plays the same re-anchoring role)
+    max_stale_doc_ratio: float = 0.10
+
     # --- misc ---
     n_grams: int = 1                  # reference config.cpp:86 default
     expand_blend: bool = False        # index expanded blend-char sub-words

@@ -52,15 +52,19 @@ def cosine_topk(vectors: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataF
     )
 
 
-def lsh_buckets(vectors: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+def lsh_buckets(vectors: DataFrame, n_planes: int = N_PLANES,
+                plane_offset: int = 0) -> DataFrame:
     """(vec_id, bucket) — sign-random-projection bucket per vector.
 
     Plane weights are a fixed deterministic integer lattice
     p(j, d) = ((31*d + 17*j) % 7) - 3, reproducible in plain SQL. At scale,
     ANN = self-join on bucket (co-partitioned) instead of a cross join.
-    """
+    ``plane_offset`` selects a disjoint plane set — table t of a multi-table
+    LSH uses offset t*n_planes, giving independent bucketings whose OR
+    recovers the recall a single table loses."""
     terms = []
-    for j in range(n_planes):
+    for j0 in range(n_planes):
+        j = j0 + plane_offset
         coeffs = [((31 * d + 17 * j) % 7) - 3 for d in range(DIM)]
         dot_j = F.aggregate(
             F.zip_with(
@@ -71,7 +75,7 @@ def lsh_buckets(vectors: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        terms.append(F.when(dot_j > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        terms.append(F.when(dot_j > 0, F.lit(1 << j0)).otherwise(F.lit(0)))
     bucket = terms[0]
     for t in terms[1:]:
         bucket = bucket + t
@@ -119,13 +123,22 @@ def kmeans_centroids(vectors: DataFrame, k: int = N_IVF_CENTROIDS,
         cos = _dot(F.col("embedding"), F.col("ce")) / (
             _norm(F.col("embedding")) * _norm(F.col("ce"))
         )
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+        # argmax via max_by (max cos, min centroid on ties): a partial-
+        # aggregating groupBy instead of a Window — the k-way candidate rows
+        # reduce MAP-SIDE to one row per vector before the shuffle, where
+        # row_number().over(partitionBy(vec_id)) shuffled all k rows per
+        # vector every Lloyd iteration
         assign = (
             j.select("vec_id", "centroid_id", "embedding", cos.alias("cos"))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    "centroid_id",
+                    F.struct(F.col("cos").alias("c"),
+                             (-F.col("centroid_id")).alias("nc")),
+                ).alias("centroid_id"),
+                F.first("embedding").alias("embedding"),
+            )
         )
         means = (
             assign.select("centroid_id", F.posexplode("embedding").alias("pos", "v"))
@@ -161,14 +174,18 @@ def ivf_assign(vectors: DataFrame, n_centroids: int = N_IVF_CENTROIDS,
     cos = _dot(F.col("embedding"), F.col("ce")) / (
         _norm(F.col("embedding")) * _norm(F.col("ce"))
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+    # max_by argmax (max cos, min centroid on ties): partial-aggregates
+    # map-side — no Window, no per-vector k-row shuffle
     return (
         j.select("vec_id", "centroid_id", cos.alias("cos"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "centroid_id",
+                F.struct(F.col("cos").alias("c"),
+                         (-F.col("centroid_id")).alias("nc")),
+            ).alias("centroid_id")
+        )
     )
 
 
@@ -208,22 +225,54 @@ def ann_ivf_topk(vectors: DataFrame, query_vec_id: int = 0, k: int = 10,
     )
 
 
+# near-dup LSH geometry: sign-plane collision probability for angle θ is
+# p = 1 - θ/π, so a (k planes, L tables) OR finds a pair with probability
+# 1 - (1 - p^k)^L. k=3/L=8 puts the knee near cos ≈ 0.3 (p ≈ 0.57 →
+# recall ≈ 0.8) — matched to the operator's threshold regime; raise k for
+# tighter thresholds.
+N_NEARDUP_PLANES = 3
+N_NEARDUP_TABLES = 8
+
+
 def embedding_near_dup_pairs(vectors: DataFrame, threshold: float = 0.99,
-                             group_col: str = "label") -> DataFrame:
+                             group_col: str | None = None,
+                             n_planes: int = N_NEARDUP_PLANES,
+                             n_tables: int = N_NEARDUP_TABLES) -> DataFrame:
     """(vec_a, vec_b, cos_sim) — embedding-cosine near-duplicate pairs.
 
-    Candidates are restricted to a grouping key (label here; an LSH bucket
-    at scale) so the pairwise work is a co-partitioned self-join, never a
-    cross join."""
-    a = vectors.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        F.col(group_col).alias("g"),
-    )
-    b = vectors.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        F.col(group_col).alias("g"),
-    )
-    j = a.join(b, "g").where(F.col("vec_a") < F.col("vec_b"))
+    Default candidate generation is multi-table sign-LSH (the at-scale
+    path): ``n_tables`` independent bucketings (disjoint plane sets), a
+    co-partitioned self-join per table, pairs OR-ed across tables and
+    deduped — single-table sign-LSH misses ~(1-p^k) of true pairs, the OR
+    recovers recall 1-(1-p^k)^L exactly like MinHash banding. The pairwise
+    cosine then runs only on the candidate pairs; the full collection is
+    never cross-joined.
+
+    ``group_col`` overrides the candidate key with an exact partitioning
+    column (e.g. a curated label) — one self-join, no LSH."""
+    if group_col is not None:
+        vs = vectors.select(
+            F.col("vec_id"), F.col("embedding"), F.col(group_col).alias("g")
+        )
+        a = vs.select(F.col("vec_id").alias("vec_a"), "g")
+        b = vs.select(F.col("vec_id").alias("vec_b"), "g")
+        cand = a.join(b, "g").where(F.col("vec_a") < F.col("vec_b")) \
+            .select("vec_a", "vec_b")
+    else:
+        cand = None
+        for t in range(n_tables):
+            bk = lsh_buckets(vectors, n_planes, plane_offset=t * n_planes)
+            a = bk.select(F.col("vec_id").alias("vec_a"), "bucket")
+            b = bk.select(F.col("vec_id").alias("vec_b"), "bucket")
+            p = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b")) \
+                .select("vec_a", "vec_b")
+            cand = p if cand is None else cand.unionByName(p)
+        cand = cand.distinct()
+    ea = vectors.select(F.col("vec_id").alias("vec_a"),
+                        F.col("embedding").alias("ea"))
+    eb = vectors.select(F.col("vec_id").alias("vec_b"),
+                        F.col("embedding").alias("eb"))
+    j = cand.join(ea, "vec_a").join(eb, "vec_b")
     cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
     return (
         j.select("vec_a", "vec_b", F.round(cos, 4).alias("cos_sim"))
@@ -274,23 +323,43 @@ SQL_LSH_BUCKETS = "SELECT vec_id, (" + " + ".join(
 ) + ")::BIGINT AS bucket FROM embeddings"
 
 def q_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # threshold 0.3: same-label cosines in the synthetic embeddings top out
+    # threshold 0.3: same-bucket cosines in the synthetic embeddings top out
     # ~0.45, so 0.3 yields a real (non-empty) pair set at sf0.001 AND sf0.01
     # — an entry that can actually fail. (0.9 returned 0 rows = vacuous.)
+    # Candidates come from the DEFAULT multi-table LSH path, so the entry
+    # hard-gates the at-scale bucketing end-to-end.
     return embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), 0.3)
 
 
-SQL_NEAR_DUPS = f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round({_sql_dot('a.embedding', 'b.embedding')}
-             / (sqrt({_sql_dot('a.embedding', 'a.embedding')})
-                * sqrt({_sql_dot('b.embedding', 'b.embedding')})), 4) AS cos_sim
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round({_sql_dot('a.embedding', 'b.embedding')}
-            / (sqrt({_sql_dot('a.embedding', 'a.embedding')})
-               * sqrt({_sql_dot('b.embedding', 'b.embedding')})), 4) >= 0.3e0
-"""
+def _sql_bucket_table(t: int) -> str:
+    return "SELECT vec_id, (" + " + ".join(
+        f"(CASE WHEN {_sql_plane(t * N_NEARDUP_PLANES + j0)} > 0 "
+        f"THEN {1 << j0} ELSE 0 END)"
+        for j0 in range(N_NEARDUP_PLANES)
+    ) + ")::BIGINT AS bucket FROM embeddings"
+
+
+_SQL_COS_AB = (
+    f"round({_sql_dot('a.embedding', 'b.embedding')}"
+    f" / (sqrt({_sql_dot('a.embedding', 'a.embedding')})"
+    f" * sqrt({_sql_dot('b.embedding', 'b.embedding')})), 4)"
+)
+
+SQL_NEAR_DUPS = (
+    "WITH "
+    + ", ".join(f"b{t} AS ({_sql_bucket_table(t)})"
+                for t in range(N_NEARDUP_TABLES))
+    + ", cand AS ("
+    + " UNION ".join(
+        f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM b{t} a "
+        f"JOIN b{t} b ON a.bucket = b.bucket AND a.vec_id < b.vec_id"
+        for t in range(N_NEARDUP_TABLES))
+    + ") "
+    f"SELECT c.vec_a, c.vec_b, {_SQL_COS_AB} AS cos_sim "
+    f"FROM cand c JOIN embeddings a ON a.vec_id = c.vec_a "
+    f"JOIN embeddings b ON b.vec_id = c.vec_b "
+    f"WHERE {_SQL_COS_AB} >= 0.3e0"
+)
 
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_assign(load_table(spark, sf_dir, "embeddings"))

@@ -129,6 +129,44 @@ def _clear_pending(index_path: str) -> None:
                 os.remove(os.path.join(d, name))
 
 
+def _staleness_path(index_path: str) -> str:
+    return os.path.join(index_path, "_staleness.json")
+
+
+def staleness(index_path: str) -> dict:
+    """The BM25 staleness meter: docs appended since the last FULL refresh
+    (the last time n_docs/avg_dl were re-anchored), plus the anchored
+    n_docs and their ratio. Persisted next to the index; reset by every
+    full refresh."""
+    import json
+
+    since = 0
+    try:
+        with open(_staleness_path(index_path)) as fh:
+            since = int(json.load(fh).get("docs_since_full", 0))
+    except (OSError, ValueError):
+        pass
+    try:
+        n_docs = int(Index(index_path).meta().get("n_docs", 0))
+    except (OSError, ValueError, KeyError):
+        n_docs = 0
+    return {
+        "docs_since_full": since,
+        "anchored_n_docs": n_docs,
+        "stale_ratio": since / n_docs if n_docs else 0.0,
+    }
+
+
+def _write_staleness(index_path: str, docs_since_full: int) -> None:
+    import json
+
+    p = _staleness_path(index_path)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"docs_since_full": int(docs_since_full)}, fh)
+    os.replace(tmp, p)
+
+
 def refresh_index(spark: SparkSession, index_path: str,
                   cfg: EngineConfig = DEFAULT, mode: str = "full") -> Index:
     """Fold accumulated appends into the serving index.
@@ -146,13 +184,21 @@ def refresh_index(spark: SparkSession, index_path: str,
     refresh values (deliberate: the untouched shards were scored with those
     same stats, so scores stay mutually consistent — the reference's delta
     merge defers global re-scoring the same way, merger.cpp:84-117 +
-    calculate_scores afterward). Run a periodic full refresh to re-anchor
-    the global stats."""
+    calculate_scores afterward).
+
+    Staleness is BOUNDED, not just documented: a persisted meter counts the
+    docs appended since the last full refresh, and a partial refresh
+    auto-escalates to a full one once that count exceeds
+    ``cfg.max_stale_doc_ratio`` of the anchored n_docs — so the error the
+    frozen global stats can introduce stays capped at any append cadence
+    (the reference merger daemon's final append+merge plays the same
+    re-anchoring role, merger.cpp:176-181)."""
     td_path = os.path.join(index_path, "term_doc")
     if mode == "full":
         td = spark.read.parquet(td_path)
         idx = rebuild_from_term_doc(spark, td, index_path, cfg, run_id="refresh")
         _clear_pending(index_path)
+        _write_staleness(index_path, 0)  # global stats re-anchored
         return idx
     if mode != "partial":
         raise ValueError(f"unknown refresh mode {mode!r}")
@@ -168,6 +214,22 @@ def refresh_index(spark: SparkSession, index_path: str,
         return idx
     meta = idx.meta()
     n_docs, avg_dl = int(meta["n_docs"]), float(meta["avg_dl"])
+
+    # staleness gate: count the genuinely NEW docs these appends bring (one
+    # cheap distinct+anti-join job over the touched shards) and escalate to
+    # a full refresh when the accumulated ratio crosses the config bound
+    dl_path = os.path.join(index_path, "doc_lengths")
+    existing_ids = spark.read.parquet(dl_path).select("doc_id")
+    incoming_new = (
+        spark.read.parquet(td_path)
+        .where(F.col("shard").isin(shards))
+        .select("doc_id").distinct()
+        .join(existing_ids, "doc_id", "left_anti")
+        .count()
+    )
+    since = staleness(index_path)["docs_since_full"] + incoming_new
+    if n_docs > 0 and since / n_docs > cfg.max_stale_doc_ratio:
+        return refresh_index(spark, index_path, cfg, mode="full")
 
     # duplicate (term, doc) pairs across appends combine via += ; the filter
     # is pushed into the parquet scan (shard is a leading stats column)
@@ -200,11 +262,9 @@ def refresh_index(spark: SparkSession, index_path: str,
     # doc_lengths: append rows for docs the touched shards introduced (the
     # streaming contract is append-only new docs; a doc's full token set
     # lands in the same batch, so its doc_len is complete here)
-    dl_path = os.path.join(index_path, "doc_lengths")
-    existing = spark.read.parquet(dl_path).select("doc_id")
     new_dl = (
         td.groupBy("doc_id").agg(F.first("doc_len").alias("doc_len"))
-        .join(existing, "doc_id", "left_anti")
+        .join(existing_ids, "doc_id", "left_anti")
     )
     new_dl.write.mode("append").parquet(dl_path)
     # keep the derived impact table in lockstep with the touched shards
@@ -224,6 +284,8 @@ def refresh_index(spark: SparkSession, index_path: str,
 
         rebuild_docpart_from_postings(spark, index_path, cfg)
     _clear_pending(index_path)
+    _write_staleness(index_path, since)
     commit_snapshot(index_path, "partial_refresh",
-                    {"shards": shards, "stale_stats": True})
+                    {"shards": shards, "stale_stats": True,
+                     "docs_since_full": since})
     return idx

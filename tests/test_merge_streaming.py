@@ -184,6 +184,48 @@ def test_partial_refresh_reblocks_only_touched_shards(spark, tmp_path):
     assert _postings_set(spark, Index(idx_path)) == _postings_set(spark, batch)
 
 
+def test_partial_refresh_staleness_escalation(spark, tmp_path):
+    """The staleness meter bounds how far corpus-global BM25 stats can
+    drift: appends under cfg.max_stale_doc_ratio keep the partial path
+    (stats anchored, meter accumulating); once the accumulated new docs
+    cross the ratio, a 'partial' refresh escalates to a FULL refresh with
+    fresh n_docs/avg_dl and a reset meter."""
+    import dataclasses
+
+    from alexandria_spark.streaming.incremental import staleness
+
+    cfg = dataclasses.replace(CFG, max_stale_doc_ratio=0.10)
+    docs = _corpus(spark, 11, 50, 0).select("doc_id", F.col("content").alias("text"))
+    in_dir = str(tmp_path / "incoming")
+    docs.coalesce(1).write.mode("append").parquet(in_dir)
+    idx_path = str(tmp_path / "idx")
+    ingest_stream(spark, in_dir, idx_path, docs.schema, cfg)
+    refresh_index(spark, idx_path, cfg, mode="full")
+    n0 = int(Index(idx_path).meta()["n_docs"])  # zero-token docs don't count
+    assert n0 > 20
+    assert staleness(idx_path)["docs_since_full"] == 0
+
+    def _append(rows):
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        ingest_stream(spark, in_dir, idx_path, docs.schema, cfg)
+
+    # 2 new docs (~4% of the anchor) — stays partial, stats frozen
+    _append([(20_000_001, "alpha beta gamma"), (20_000_002, "alpha delta")])
+    refresh_index(spark, idx_path, cfg, mode="partial")
+    assert int(Index(idx_path).meta()["n_docs"]) == n0  # still anchored
+    assert staleness(idx_path)["docs_since_full"] == 2
+
+    # 4 more (6 accumulated > 10% of the anchor) — escalates to full
+    assert 6 / n0 > cfg.max_stale_doc_ratio
+    _append([(20_000_003, "epsilon zeta"), (20_000_004, "eta theta"),
+             (20_000_005, "iota kappa"), (20_000_006, "lam mu")])
+    refresh_index(spark, idx_path, cfg, mode="partial")
+    meta = Index(idx_path).meta()
+    assert int(meta["n_docs"]) == n0 + 6  # fresh global stats
+    assert staleness(idx_path)["docs_since_full"] == 0  # meter reset
+
+
 def test_partial_refresh_keeps_impact_in_sync(spark, tmp_path):
     """When an index carries the derived impact table, a partial refresh
     must re-derive EXACTLY the touched impact shard partitions: the new doc

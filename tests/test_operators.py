@@ -112,6 +112,38 @@ def test_ann_bucket_contains_exact_neighbors(spark):
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.2, (recall, exact, approx)
 
+def test_near_dup_lsh_bucket_recall(spark):
+    """The default (multi-table LSH) near-dup path must recover most of the
+    pairs the exact label-grouped path finds (single-table sign-LSH alone
+    misses ~(1-p^k); the table OR is what restores recall), and every pair
+    it reports must carry the exact cosine (subset of the full exact pair
+    set at the same threshold)."""
+    from alexandria_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r.vec_a, r.vec_b): r.cos_sim
+             for r in embedding_near_dup_pairs(emb, 0.3, group_col="label").collect()}
+    got = {(r.vec_a, r.vec_b): r.cos_sim
+           for r in embedding_near_dup_pairs(emb, 0.3).collect()}
+    assert exact, "label-grouped ground truth must be non-empty"
+    recall = len(set(got) & set(exact)) / len(exact)
+    assert recall >= 0.5, (recall, len(exact), len(got))
+    # reported cosines are exact — identical values on the overlap
+    for pair in set(got) & set(exact):
+        assert got[pair] == exact[pair]
+
+
+def test_ivf_assign_plan_has_no_window_exchange(spark):
+    """The Lloyd/IVF argmax must partial-aggregate map-side (max_by), not
+    shuffle every (vector, centroid) candidate row through a Window."""
+    from alexandria_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = ivf_assign(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_max_by" in plan.lower() or "partial" in plan.lower()
+
+
 def test_ivf_ann(spark):
     from alexandria_spark.operators.similarity import ann_ivf_topk, ivf_assign
 

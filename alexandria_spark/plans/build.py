@@ -243,6 +243,16 @@ BLOCK_SCHEMA = StructType(
 )
 
 
+SCORED_POSTING_SCHEMA = StructType(
+    [
+        StructField("term_id", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("tf", IntegerType()),
+        StructField("score", FloatType()),
+    ]
+)
+
+
 def blockify(
     term_doc: DataFrame,
     cfg: EngineConfig,
@@ -250,8 +260,16 @@ def blockify(
     avg_dl: float,
     hot_df: dict[int, int],
     postings_acc=None,
+    emit_postings: bool = False,
 ) -> DataFrame:
     """term_doc postings → scored, encoded block rows — ONE shuffle total.
+
+    ``emit_postings=True`` stops after scoring: the SAME one-shuffle
+    local-df machinery, but the output is scored (term_id, doc_id, tf,
+    score) rows instead of encoded blocks — the term-sharded scoring
+    pre-pass a doc-partitioned build needs (doc-major layouts must re-
+    cluster by doc AFTER term-global df is known, so they consume scored
+    postings, not term blocks).
 
     Document frequency (the only BM25 input that needs term-global state) is
     computed *locally*: after the repartition by (shard, salt), a non-salted
@@ -353,11 +371,16 @@ def blockify(
         return out
 
     def _finish(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = build_blocks(_score(pdf), block_size, keep_tf)
-        tid = out["term_id"].to_numpy(np.int64)
-        out["shard"] = (tid.view(np.uint64) % np.uint64(num_shards)).astype(np.int32)
+        scored = _score(pdf)
         if postings_acc is not None:
             postings_acc.add(int(len(pdf)))
+        if emit_postings:
+            out = scored[["term_id", "doc_id", "tf", "score"]].copy()
+            out["tf"] = out["tf"].astype(np.int32)
+            return out
+        out = build_blocks(scored, block_size, keep_tf)
+        tid = out["term_id"].to_numpy(np.int64)
+        out["shard"] = (tid.view(np.uint64) % np.uint64(num_shards)).astype(np.int32)
         return out
 
     def fn(batches):
@@ -394,7 +417,9 @@ def blockify(
             if len(whole):
                 yield _finish(whole)
 
-    return parts.mapInPandas(fn, BLOCK_SCHEMA)
+    return parts.mapInPandas(
+        fn, SCORED_POSTING_SCHEMA if emit_postings else BLOCK_SCHEMA
+    )
 
 
 # ---------------------------------------------------------------- index

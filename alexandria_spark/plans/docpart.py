@@ -9,10 +9,13 @@ terms for its slice of the doc space, so each executor runs the full
 block-max WAND locally over its slice and only per-bucket top-k rows travel
 to the driver — one Spark job, no global metadata, no driver-side decode.
 
-Build: term_doc → df join (BM25 needs global df; vocabulary-sized join, not
-broadcast) → bucket = hash(doc_id) % n_buckets → repartition(bucket) →
-sort (bucket, term, unsigned doc) → the SAME block builder (bucket rides in
-the block's salt slot) → parquet partitioned by bucket.
+Build: term_doc → term-sharded scoring pre-pass (blockify's one-shuffle
+local-df machinery emitting scored postings — df never travels through a
+vocabulary join) → bucket = hash(doc_id) % n_buckets → repartition(bucket)
+→ sort (bucket, term, unsigned doc) → the SAME block builder (bucket rides
+in the block's salt slot) → parquet partitioned by bucket. Two full-data
+shuffles standalone; ONE when derived from a co-built term index
+(rebuild_docpart_from_postings).
 
 Query: scan pruned to the query terms (row-group stats on term_id inside
 each bucket dir), groupBy(bucket).applyInPandas(per-bucket WAND kernel),
@@ -36,7 +39,6 @@ from alexandria_spark.plans.build import (
     MIN_I64,
     BLOCK_SCHEMA,
     Index,
-    bm25_score_col,
     corpus_stats_pass,
     tokenize_docs,
 )
@@ -104,13 +106,26 @@ def build_docpart_index(
              "fingerprint": "docpart", "run_id": "docpart"}, fh,
         )
 
+    # hot terms (df above the salt cap): a handful even at web scale —
+    # their exact dfs ride in a broadcast dict, like the term layout
+    hot_df = {
+        int(r["term_id"]): int(r["df"])
+        for r in term_stats.where(F.col("df") > cfg.max_postings_per_salt).collect()
+    }
+    # TWO full-data shuffles total (was three): a term-sharded scoring
+    # pre-pass (blockify's one-shuffle local-df machinery emitting scored
+    # postings — no vocabulary-sized term_stats join), then the one
+    # re-cluster by doc bucket that a doc-major layout inherently needs.
+    # When a term-layout index is co-built (build_submit --layout both),
+    # use rebuild_docpart_from_postings instead: deriving from the already
+    # scored term blocks costs ONE shuffle.
+    from alexandria_spark.plans.build import blockify
+
     td = tokenize_docs(docs, cfg, id_col, text_col)
-    scored = (
-        td.join(term_stats, "term_id")
-        .withColumn("score", bm25_score_col(n_docs, avg_dl, cfg))
-        .withColumn("salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast("int"))
-        .select("term_id", "salt", "doc_id", "tf", "score")
-    )
+    scored = blockify(td, cfg, n_docs, avg_dl, hot_df, emit_postings=True)
+    scored = scored.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast("int")
+    ).select("term_id", "salt", "doc_id", "tf", "score")
     blocks = _scored_to_docpart_blocks(scored, cfg)
     blocks.write.partitionBy("bucket").mode("overwrite").parquet(idx.postings_path)
     from alexandria_spark.plans.snapshots import commit_snapshot

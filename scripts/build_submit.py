@@ -68,7 +68,15 @@ def main():
             spark, docs, args.index, cfg, id_col=id_col, text_col=text_col,
             materialize_stage1=not args.no_materialize,
         )
-    if args.layout in ("docpart", "both"):
+    if args.layout == "both":
+        # the term build above already scored every posting — derive the
+        # doc layout from those blocks (decode → re-bucket → encode): ONE
+        # full-data shuffle, no second tokenize/stats pass, and byte-level
+        # score identity between the two layouts by construction
+        from alexandria_spark.plans.docpart import rebuild_docpart_from_postings
+
+        idx = rebuild_docpart_from_postings(spark, args.index, cfg)
+    elif args.layout == "docpart":
         from alexandria_spark.plans.docpart import build_docpart_index
 
         idx = build_docpart_index(

@@ -223,6 +223,50 @@ def test_lsh_and_pack_plan_posture(spark):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_docpart_build_shuffle_counts(spark, idx):
+    """Doc-layout build shuffle budget: the standalone build is exactly TWO
+    full-data Exchanges (term-sharded scoring pre-pass + the doc-bucket
+    re-cluster a doc-major layout inherently needs — the old vocabulary
+    term_stats join added a third); deriving from an existing term index
+    (the --layout both path) is exactly ONE (decode is map-side, only the
+    re-bucket shuffles)."""
+    import pyspark.sql.types as T
+
+    from alexandria_spark.plans.blocks import decode_blocks
+    from alexandria_spark.plans.build import blockify, tokenize_docs
+    from alexandria_spark.plans.docpart import _scored_to_docpart_blocks
+    from alexandria_spark.sources.tables import synth_corpus
+
+    docs = synth_corpus(spark, 30, seed=23).withColumnRenamed("content", "text") \
+        .withColumn("doc_id", F.monotonically_increasing_id())
+    td = tokenize_docs(docs, CFG)
+    scored = blockify(td, CFG, 30, 12.0, {}, emit_postings=True)
+    scored = scored.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(8)).cast("int")
+    ).select("term_id", "salt", "doc_id", "tf", "score")
+    plan = _plan(_scored_to_docpart_blocks(scored, CFG))
+    assert plan.count("Exchange") == 2, plan
+
+    # derive-from-term-index path (rebuild_docpart_from_postings shape)
+    def decode_fn(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield decode_blocks(pdf, want_tf=True)[
+                    ["term_id", "doc_id", "score", "tf"]]
+
+    dec_schema = T.StructType([
+        T.StructField("term_id", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.FloatType()),
+        T.StructField("tf", T.LongType()),
+    ])
+    derived = idx.postings(spark).mapInPandas(decode_fn, dec_schema).withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(8)).cast("int")
+    ).select("term_id", "salt", "doc_id", "score", "tf")
+    plan = _plan(_scored_to_docpart_blocks(derived, CFG))
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_docpart_guard_rails(spark, idx, tmp_path):
     """search_docpart must refuse (a) a path with no doc-partitioned layout
     (clear FileNotFoundError, not an unresolved-column Catalyst error) and

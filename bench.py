@@ -114,7 +114,23 @@ def main() -> None:
         from alexandria_spark.plans.query import LocalIndex, QueryEngine, search
 
         idx_path = os.path.join(tmp, "idx_main")
+        # min-of-reps headline: this host's throughput wanders +-25%/hour
+        # (BENCH.md); a single shot once recorded a -16% "regression" that
+        # four local sessions couldn't reproduce. Each rep is a full fresh
+        # build (separate dir — same-dir re-runs checkpoint-skip); the
+        # headline is the min, with every rep recorded for transparency.
+        build_reps = int(os.environ.get("SPARK_GRAFT_BUILD_REPS", "3"))
         build_main = run_build(cpus, sf_dir, idx_path)
+        reps_sec = [build_main["build_sec"]]
+        for rep in range(1, build_reps):
+            r = run_build(cpus, sf_dir, os.path.join(tmp, f"idx_rep{rep}"))
+            reps_sec.append(r["build_sec"])
+            if r["build_sec"] < build_main["build_sec"]:
+                build_main = r
+        build_main = dict(build_main)
+        build_main["reps_sec"] = reps_sec
+        build_main["docs_per_sec"] = round(
+            build_main["n_docs"] / build_main["build_sec"], 1)
         queries_sec["build_index"] = build_main["build_sec"]
         out["build"] = build_main
 

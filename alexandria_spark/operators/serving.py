@@ -323,11 +323,16 @@ def q_serve_recompute_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def serve_rows(df: DataFrame, stage: str) -> DataFrame:
+        # NULL-safe transport concat: concat_ws silently DROPS nulls (and
+        # their separator) while the oracle's || yields NULL — coalesce
+        # both fields on both sides so a NULL source/snippet hashes
+        # identically instead of reddening the entry
         return df.select(
             F.lit(stage).alias("stage"),
             F.col("doc_id").cast("string").alias("k"),
             F.col("score").cast("double").alias("num"),
-            F.concat_ws("|", "source", "snippet").alias("txt"),
+            F.concat(F.coalesce(F.col("source"), F.lit("")), F.lit("|"),
+                     F.coalesce(F.col("snippet"), F.lit(""))).alias("txt"),
         )
 
     from alexandria_spark.config import EngineConfig
@@ -357,9 +362,11 @@ SQL_SERVE_RECOMPUTE_FULL = " UNION ALL ".join([
     f"SELECT 'boost', CAST(doc_id AS VARCHAR), CAST(score AS DOUBLE), ''"
     f" FROM ({SQL_BOOSTED})",
     f"SELECT 'pipeline', CAST(doc_id AS VARCHAR), CAST(score AS DOUBLE),"
-    f" source || '|' || snippet FROM ({SQL_SERVE_PIPELINE})",
+    f" coalesce(source, '') || '|' || coalesce(snippet, '')"
+    f" FROM ({SQL_SERVE_PIPELINE})",
     f"SELECT 'topk', CAST(doc_id AS VARCHAR), CAST(score AS DOUBLE),"
-    f" source || '|' || snippet FROM ({SQL_SERVE_TOPK})",
+    f" coalesce(source, '') || '|' || coalesce(snippet, '')"
+    f" FROM ({SQL_SERVE_TOPK})",
 ])
 
 ENTRIES = {

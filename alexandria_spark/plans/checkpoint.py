@@ -71,17 +71,21 @@ def atomic_swap_dir(new_dir: str, dst: str) -> None:
     """Replace directory ``dst`` with ``new_dir`` without a window where
     ``dst`` is missing-and-unrecoverable: the old copy is renamed aside to
     ``dst + '_old'`` first, the new one moved into place, then the old copy
-    deleted. ``recover_swap`` repairs a crash between the renames."""
+    deleted. ``recover_swap`` repairs a crash between the renames.
+
+    The ``_old`` deletes run with ignore_errors: a concurrent
+    ``expire_snapshots`` adjudicating the same remnant may race this
+    rmtree, and both sides deleting the same garbage is benign."""
     import shutil
 
     old = dst + "_old"
     if os.path.exists(old):
-        shutil.rmtree(old)
+        shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(dst):
         os.replace(dst, old)
     os.replace(new_dir, dst)
     if os.path.exists(old):
-        shutil.rmtree(old)
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def recover_swap(dst: str) -> None:

@@ -174,42 +174,47 @@ def expire_snapshots(index_path: str, keep_last: int = 3,
     (b) crash leftovers: ``<table>_rebuilding`` staging dirs and
     ``<table>_old`` swap remnants (after ``recover_swap`` adjudicates them).
 
-    Leftover staging/swap dirs are AGE-GATED (Iceberg's
-    ``remove_orphan_files`` does the same): a ``_rebuilding``/``_old`` dir
-    is deleted only when nothing inside it has been modified for
-    ``leftover_min_age_sec`` (default 6 h) — so an expire run concurrent
-    with an in-flight rebuild/refresh/compact leaves the live writer's
-    staging output alone instead of failing it mid-write. Genuine crash
-    leftovers age past the gate and are reclaimed on a later run.
+    ``_rebuilding`` staging dirs are AGE-GATED (Iceberg's
+    ``remove_orphan_files`` does the same): deleted only when nothing
+    inside has been modified for ``leftover_min_age_sec`` (default 6 h) —
+    a LIVE rebuild keeps writing into its staging dir, so fresh mtimes mean
+    a writer may be mid-flight and the dir is left for a later run; genuine
+    crash leftovers age past the gate. ``_old`` swap remnants are NOT
+    age-gated (their files carry historical mtimes regardless of writer
+    liveness, so mtime says nothing): they are adjudicated immediately via
+    ``recover_swap`` — restored as the live table when the table dir is
+    missing (crash mid-swap; waiting would serve FileNotFoundError until
+    the gate expired), deleted when the table dir exists (the swap
+    completed). The dst-missing window of a live swap is two renames wide;
+    a writer losing that race fails its maintenance job cleanly (both
+    copies intact) and reruns — ``atomic_swap_dir``'s deletes tolerate the
+    benign double-delete.
 
     Returns {"expired": [ids], "deleted_files": n, "retained": [ids],
-    "leftover_dirs": [paths]}.
+    "leftover_dirs": [deleted paths], "recovered_dirs": [restored paths]}.
     """
     import shutil
 
     from alexandria_spark.plans.checkpoint import recover_swap
 
-    leftovers = []
+    leftovers, recovered = [], []
     for t in TABLES:
         tdir = os.path.join(index_path, t)
-        for suffix in ("_rebuilding", "_old"):
-            stray = tdir + suffix
-            if not os.path.isdir(stray):
-                continue
-            if _dir_age_sec(stray) < leftover_min_age_sec:
-                continue  # possibly a live writer — leave it for a later run
-            if suffix == "_old":
-                # a crashed swap either restores _old (dst missing) or
-                # drops it; only adjudicated once it is provably stale
-                recover_swap(tdir)
-            if os.path.isdir(stray):
-                shutil.rmtree(stray)
+        old = tdir + "_old"
+        if os.path.isdir(old):
+            was_missing = not os.path.exists(tdir)
+            recover_swap(tdir)
+            rel = os.path.relpath(old, index_path)
+            (recovered if was_missing else leftovers).append(rel)
+        stray = tdir + "_rebuilding"
+        if os.path.isdir(stray) and _dir_age_sec(stray) >= leftover_min_age_sec:
+            shutil.rmtree(stray)
             leftovers.append(os.path.relpath(stray, index_path))
 
     recs = history(index_path)
     if not recs:
         return {"expired": [], "deleted_files": 0, "retained": [],
-                "leftover_dirs": leftovers}
+                "leftover_dirs": leftovers, "recovered_dirs": recovered}
     keep_last = max(1, int(keep_last))
     retained = recs[-keep_last:]
     head = head_snapshot_id(index_path)
@@ -250,4 +255,5 @@ def expire_snapshots(index_path: str, keep_last: int = 3,
         "deleted_files": deleted,
         "retained": sorted(retained_ids),
         "leftover_dirs": leftovers,
+        "recovered_dirs": recovered,
     }

@@ -215,21 +215,8 @@ def refresh_index(spark: SparkSession, index_path: str,
     meta = idx.meta()
     n_docs, avg_dl = int(meta["n_docs"]), float(meta["avg_dl"])
 
-    # staleness gate: count the genuinely NEW docs these appends bring (one
-    # cheap distinct+anti-join job over the touched shards) and escalate to
-    # a full refresh when the accumulated ratio crosses the config bound
     dl_path = os.path.join(index_path, "doc_lengths")
     existing_ids = spark.read.parquet(dl_path).select("doc_id")
-    incoming_new = (
-        spark.read.parquet(td_path)
-        .where(F.col("shard").isin(shards))
-        .select("doc_id").distinct()
-        .join(existing_ids, "doc_id", "left_anti")
-        .count()
-    )
-    since = staleness(index_path)["docs_since_full"] + incoming_new
-    if n_docs > 0 and since / n_docs > cfg.max_stale_doc_ratio:
-        return refresh_index(spark, index_path, cfg, mode="full")
 
     # duplicate (term, doc) pairs across appends combine via += ; the filter
     # is pushed into the parquet scan (shard is a leading stats column)
@@ -239,6 +226,21 @@ def refresh_index(spark: SparkSession, index_path: str,
         .groupBy("term_id", "doc_id", "shard")
         .agg(F.sum("tf").alias("tf"), F.max("doc_len").alias("doc_len"))
     )
+    # staleness gate: the NEW docs these appends bring decide whether the
+    # partial path is still allowed. new_dl is the same frame the
+    # doc_lengths append writes below — computed ONCE (persisted) so the
+    # gate's count and the append share one anti-join job.
+    new_dl = (
+        td.groupBy("doc_id").agg(F.first("doc_len").alias("doc_len"))
+        .join(existing_ids, "doc_id", "left_anti")
+        .persist()
+    )
+    incoming_new = new_dl.count()
+    since = staleness(index_path)["docs_since_full"] + incoming_new
+    if n_docs > 0 and since / n_docs > cfg.max_stale_doc_ratio:
+        new_dl.unpersist()
+        return refresh_index(spark, index_path, cfg, mode="full")
+
     hot_df = {
         int(r["term_id"]): int(r["df"])
         for r in td.groupBy("term_id").agg(F.count("*").alias("df"))
@@ -261,12 +263,10 @@ def refresh_index(spark: SparkSession, index_path: str,
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     # doc_lengths: append rows for docs the touched shards introduced (the
     # streaming contract is append-only new docs; a doc's full token set
-    # lands in the same batch, so its doc_len is complete here)
-    new_dl = (
-        td.groupBy("doc_id").agg(F.first("doc_len").alias("doc_len"))
-        .join(existing_ids, "doc_id", "left_anti")
-    )
+    # lands in the same batch, so its doc_len is complete here). new_dl is
+    # the persisted frame the staleness gate already counted.
     new_dl.write.mode("append").parquet(dl_path)
+    new_dl.unpersist()
     # keep the derived impact table in lockstep with the touched shards
     # (terms are hash-sharded identically in both tables, so only those
     # shard partitions are re-derived)

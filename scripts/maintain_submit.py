@@ -27,8 +27,9 @@ def main():
                    choices=["refresh-partial", "refresh-full", "compact", "expire"])
     p.add_argument("--keep-last", type=int, default=3)
     p.add_argument("--leftover-min-age-sec", type=float, default=6 * 3600.0,
-                   help="expire only touches _rebuilding/_old staging dirs "
-                        "idle for at least this long (live-writer safety)")
+                   help="expire deletes _rebuilding staging dirs only when "
+                        "idle this long (live-writer safety); _old swap "
+                        "remnants are adjudicated immediately")
     args = p.parse_args()
 
     from alexandria_spark.plans.build import Index

@@ -103,11 +103,28 @@ def test_expire_snapshots_gc(spark, tmp_path):
     os.makedirs(stray, exist_ok=True)
     open(os.path.join(stray, "part-junk.parquet"), "w").close()
 
-    # the leftover age gate: a FRESH staging dir (possibly a live concurrent
-    # writer) must survive a default-gated expire run untouched
+    # an _old swap remnant is adjudicated IMMEDIATELY (no age gate — its
+    # mtimes are historical either way): with the live table present it is
+    # deleted as completed-swap garbage
+    old_junk = os.path.join(idx.path, "postings_old")
+    os.makedirs(old_junk, exist_ok=True)
+    open(os.path.join(old_junk, "stale.parquet"), "w").close()
+
+    # the leftover age gate: a FRESH _rebuilding dir (possibly a live
+    # concurrent writer) must survive a default-gated expire run untouched
     gated = expire_snapshots(idx.path, keep_last=100)
     assert os.path.exists(stray)
-    assert gated["leftover_dirs"] == []
+    assert not os.path.exists(old_junk)
+    assert gated["leftover_dirs"] == ["postings_old"]
+    assert gated["recovered_dirs"] == []
+
+    # crash mid-swap (table dir missing, _old holds the data): restored
+    # immediately — waiting for an age gate would serve FileNotFoundError
+    td_dir = os.path.join(idx.path, "term_doc")
+    os.replace(td_dir, td_dir + "_old")
+    rec = expire_snapshots(idx.path, keep_last=100)
+    assert os.path.isdir(td_dir) and not os.path.exists(td_dir + "_old")
+    assert rec["recovered_dirs"] == ["term_doc_old"]
 
     res = expire_snapshots(idx.path, keep_last=1, leftover_min_age_sec=0.0)
     assert old_head in res["expired"]

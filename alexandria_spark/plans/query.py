@@ -428,9 +428,14 @@ class QueryEngine:
         if cache:
             self.blocks = self.blocks.cache()
             self.blocks.count()
-        self.meta = self.blocks.select(
+        # driver-pinned metadata is guarded like search()/search_bmw(): past
+        # _META_GUARD_ROWS the engine serves WITHOUT driver-side AND-pruning
+        # (still exact — executor-side decode+groupBy carries the query)
+        # instead of holding a 100-TB index's block metadata on the driver
+        rows = self.blocks.select(
             "term_id", "salt", "block_id", "min_doc", "max_doc"
-        ).toPandas()
+        ).limit(_META_GUARD_ROWS + 1).toPandas()
+        self.meta = None if len(rows) > _META_GUARD_ROWS else rows
 
     def search(self, query: str, mode: str = "and", k: int = 10) -> DataFrame:
         cfg = self.cfg
@@ -438,7 +443,7 @@ class QueryEngine:
         if not term_ids:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         blocks = self.blocks.where(F.col("term_id").isin(term_ids))
-        if mode == "and" and len(term_ids) > 1:
+        if mode == "and" and len(term_ids) > 1 and self.meta is not None:
             meta = self.meta[self.meta["term_id"].isin(term_ids)]
             kept = _prune_and_blocks(meta, term_ids)
             if len(kept) == 0:

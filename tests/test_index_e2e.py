@@ -268,6 +268,23 @@ def test_bmw_metadata_guard_fallback(spark, synth, monkeypatch):
                            rtol=1e-9), (q, mode)
 
 
+def test_query_engine_metadata_guard(spark, synth, monkeypatch):
+    """A QueryEngine over an index whose block metadata exceeds the driver
+    guard must serve WITHOUT driver-side pruning and still return identical
+    results (exact executor-side path)."""
+    from alexandria_spark.plans import query as qmod
+
+    idx, oracle = synth
+    monkeypatch.setattr(qmod, "_META_GUARD_ROWS", 1)
+    qe = qmod.QueryEngine(spark, idx, CFG, cache=False)
+    assert qe.meta is None  # guard tripped — nothing pinned on the driver
+    for q, mode in QUERIES[:6]:
+        exp = oracle.search(q, mode, k=10)
+        got = [(r.doc_id, r.score) for r in qe.search(q, mode, k=10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in exp], (q, mode)
+        assert np.allclose([s for _, s in got], [s for _, s in exp], rtol=1e-9)
+
+
 def test_docpart_rank_identity(spark, synth, tmp_path_factory):
     from alexandria_spark.plans.docpart import build_docpart_index, search_docpart
 

@@ -169,19 +169,29 @@ def _pinned_scan(spark: SparkSession, index: Index, table: str):
 
 
 def _impact_meta(spark: SparkSession, index: Index, tid: int,
-                 num_shards: int, _blocks=None) -> pd.DataFrame:
+                 num_shards: int, _blocks=None) -> pd.DataFrame | None:
     """Metadata-only scan of a term's impact blocks, sorted by descending
     block max (the merged impact order across salts). Column pruning keeps
     the payload byte columns out of the parquet read entirely.
-    ``_blocks`` substitutes ImpactEngine's cached scan."""
+    ``_blocks`` substitutes ImpactEngine's cached scan.
+
+    Guarded like every other driver metadata fetch: a term whose block
+    metadata exceeds the guard returns None, and the caller serves through
+    the fully distributed doc-sorted path instead of shipping a 100-TB hot
+    term's block list to the driver."""
+    from alexandria_spark.plans.query import _META_GUARD_ROWS
+
     shard = _shard_of(tid, num_shards)
     path = os.path.join(index.path, "postings_impact")
     src = _blocks if _blocks is not None else spark.read.parquet(path)
     meta = (
         src.where((F.col("shard") == shard) & (F.col("term_id") == tid))
         .select("salt", "block_id", "n", "max_score")
+        .limit(_META_GUARD_ROWS + 1)
         .toPandas()
     )
+    if len(meta) > _META_GUARD_ROWS:
+        return None
     return meta.sort_values("max_score", ascending=False).reset_index(drop=True)
 
 
@@ -241,6 +251,18 @@ class _ImpactBlockReader:
         self.fetch_jobs += 1
 
 
+def _search_fallback(spark: SparkSession, index: Index, query: str,
+                     mode: str, k: int,
+                     cfg: EngineConfig) -> list[tuple[int, float]]:
+    """Exact distributed top-k via plans.query.search — the fallback when a
+    driver metadata guard trips (same result contract: score desc,
+    unsigned doc asc)."""
+    from alexandria_spark.plans.query import search
+
+    r = search(spark, index, query, mode=mode, k=k, cfg=cfg)
+    return [(int(row["doc_id"]), float(row["score"])) for row in r.collect()]
+
+
 def _deleted_u(spark: SparkSession, index: Index) -> np.ndarray:
     """Sorted unsigned tombstoned doc ids (empty when none)."""
     from alexandria_spark.plans.delete import load_deletes
@@ -282,6 +304,8 @@ def impact_single_topk(spark: SparkSession, index: Index, query: str,
     if _blocks is None:  # pin meta scan + payload fetches to one snapshot
         _blocks = _pinned_scan(spark, index, "postings_impact")
     meta = _impact_meta(spark, index, tid, cfg.num_shards, _blocks)
+    if meta is None:  # metadata guard tripped — exact distributed fallback
+        return _search_fallback(spark, index, query, "or", k, cfg)
     if len(meta) == 0:
         if _stats is not None:
             _stats.update(blocks_read=0, blocks_total=0,
@@ -363,6 +387,11 @@ def impact_or_topk(spark: SparkSession, index: Index, query: str,
         _doc_blocks = _pinned_scan(spark, index, "postings")
     metas = {t: _impact_meta(spark, index, t, cfg.num_shards, _blocks)
              for t in term_ids}
+    if any(m is None for m in metas.values()):
+        # a hot term tripped the metadata guard: the driver-orchestrated
+        # impact walk would hold its block list — serve the whole query
+        # through the exact distributed path instead
+        return _search_fallback(spark, index, query, "or", k, cfg)
     readers = {
         t: _ImpactBlockReader(spark, index, t, m, cfg.num_shards,
                               first_batch=2, _blocks=_blocks)
@@ -470,14 +499,33 @@ def _exact_scores_docsorted(spark: SparkSession, index: Index,
     contains a candidate), one distributed job, driver receives only the
     kept blocks' payloads filtered to candidates.
     ``_doc_blocks`` substitutes ImpactEngine's cached doc-sorted scan."""
+    from alexandria_spark.plans.query import _META_GUARD_ROWS, _decode_map
+
     shards = sorted({_shard_of(t, cfg.num_shards) for t in term_ids})
     src = _doc_blocks if _doc_blocks is not None else index.postings(spark)
     blocks = src.where(
         F.col("shard").isin(shards) & F.col("term_id").isin(list(term_ids))
     )
+    if len(cand) == 0:
+        return {}, 0
     meta = blocks.select("term_id", "salt", "block_id",
-                         "min_doc", "max_doc").toPandas()
-    if len(meta) == 0 or len(cand) == 0:
+                         "min_doc", "max_doc").limit(_META_GUARD_ROWS + 1).toPandas()
+    if len(meta) > _META_GUARD_ROWS:
+        # metadata guard: skip driver-side block pruning and complete the
+        # candidates with one fully distributed decode + semi-join +
+        # groupBy job (candidate set is bounded by the phase-1 prefix)
+        keys = spark.createDataFrame(
+            [(int(x),) for x in cand.tolist()], "doc_id long"
+        )
+        rows = (
+            _decode_map(blocks)
+            .join(F.broadcast(keys), "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("score").cast("double")).alias("s"))
+            .collect()
+        )
+        return {int(r["doc_id"]): float(r["s"]) for r in rows}, -1
+    if len(meta) == 0:
         return {}, 0
     cand_u = np.sort(cand.view(np.uint64))
     lo = meta["min_doc"].to_numpy(np.int64).view(np.uint64)

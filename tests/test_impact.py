@@ -163,3 +163,46 @@ def test_compact_rederives_impact(spark, tmp_path):
     expect = LocalIndex(spark, idx, CFG).search("def", "or", 20)
     assert [(d, round(s, 6)) for d, s in after] == \
         [(d, round(s, 6)) for d, s in expect]
+
+
+def test_impact_metadata_guard_fallback(spark, idx, monkeypatch):
+    """When a term's impact-block metadata exceeds the driver guard, both
+    impact entry points must fall back to the exact distributed search path
+    and return the same ranking (scores identical up to f64 sum order)."""
+    from alexandria_spark.plans import query as qmod
+    from alexandria_spark.plans.impact import impact_or_topk
+
+    base_single = impact_single_topk(spark, idx, "def", k=10, cfg=CFG)
+    base_or = impact_or_topk(spark, idx, "def return index", k=10, cfg=CFG)
+    monkeypatch.setattr(qmod, "_META_GUARD_ROWS", 1)
+    got_single = impact_single_topk(spark, idx, "def", k=10, cfg=CFG)
+    got_or = impact_or_topk(spark, idx, "def return index", k=10, cfg=CFG)
+    assert [d for d, _ in got_single] == [d for d, _ in base_single]
+    assert [d for d, _ in got_or] == [d for d, _ in base_or]
+    assert np.allclose([s for _, s in got_single], [s for _, s in base_single],
+                       rtol=1e-9)
+    assert np.allclose([s for _, s in got_or], [s for _, s in base_or],
+                       rtol=1e-9)
+
+
+def test_exact_scores_distributed_fallback(spark, idx, monkeypatch):
+    """Phase-2 completion under a tripped metadata guard must produce the
+    same exact per-candidate OR scores via the distributed decode+semi-join
+    job as the driver-pruned path."""
+    from alexandria_spark.plans import query as qmod
+    from alexandria_spark.plans.impact import _exact_scores_docsorted
+    from alexandria_spark.plans.query import _query_term_ids
+
+    tids = _query_term_ids("def return", "or", CFG)
+    cand = np.array(
+        [d for d, _ in impact_single_topk(spark, idx, "def", k=20, cfg=CFG)],
+        dtype=np.int64,
+    )
+    base, base_blocks = _exact_scores_docsorted(spark, idx, tids, cand, CFG)
+    assert base_blocks > 0
+    monkeypatch.setattr(qmod, "_META_GUARD_ROWS", 1)
+    got, got_blocks = _exact_scores_docsorted(spark, idx, tids, cand, CFG)
+    assert got_blocks == -1  # the distributed branch actually ran
+    assert set(got) == set(base)
+    for d in base:
+        assert abs(got[d] - base[d]) <= 1e-9 * max(1.0, abs(base[d]))

@@ -160,6 +160,15 @@ def _pinned_scan(spark: SparkSession, index: Index, table: str):
     state; indexes without a snapshot log fall back to the directory read."""
     from alexandria_spark.plans import snapshots
 
+    if table == "postings_impact" and not os.path.isdir(
+        os.path.join(index.path, table)
+    ):
+        raise FileNotFoundError(
+            f"no impact-ordered layout under {index.path!r}/postings_impact — "
+            f"derive one with build_impact_postings (CLI: maintain_submit.py "
+            f"--op derive-impact), or query the doc-sorted layout with "
+            f"engine dist/bmw/local"
+        )
     try:
         return snapshots.read_table(spark, index.path, table)
     except (ValueError, FileNotFoundError, OSError):

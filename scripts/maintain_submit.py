@@ -11,6 +11,8 @@ merger.cpp:84-117, console.cpp:279-319):
   refresh-full     re-block everything with fresh corpus stats
   compact          physically drop tombstoned docs, clear tombstones
   expire           prune old snapshots + GC unreferenced files/leftovers
+  derive-impact    (re)derive the impact-ordered acceleration table
+  derive-docpart   (re)derive the doc-partitioned acceleration table
 """
 
 import argparse
@@ -24,7 +26,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--index", required=True)
     p.add_argument("--op", required=True,
-                   choices=["refresh-partial", "refresh-full", "compact", "expire"])
+                   choices=["refresh-partial", "refresh-full", "compact",
+                            "expire", "derive-impact", "derive-docpart"])
     p.add_argument("--keep-last", type=int, default=3)
     p.add_argument("--leftover-min-age-sec", type=float, default=6 * 3600.0,
                    help="expire deletes _rebuilding staging dirs only when "
@@ -49,6 +52,15 @@ def main():
         from alexandria_spark.plans.delete import compact
 
         compact(spark, idx, cfg)
+    elif args.op == "derive-impact":
+        from alexandria_spark.plans.impact import build_impact_postings
+
+        detail["table"] = build_impact_postings(spark, idx, cfg)
+    elif args.op == "derive-docpart":
+        from alexandria_spark.plans.docpart import rebuild_docpart_from_postings
+
+        detail["table"] = rebuild_docpart_from_postings(
+            spark, args.index, cfg).postings_path
     else:
         from alexandria_spark.plans.snapshots import expire_snapshots
 

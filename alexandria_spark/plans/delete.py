@@ -41,12 +41,31 @@ def load_deletes(spark: SparkSession, index: Index) -> DataFrame | None:
     return spark.read.parquet(p).select("doc_id").distinct()
 
 
+# tombstone files up to this size get the broadcast hint; past it (a mass
+# deletion at scale) the anti-join falls back to Catalyst/AQE's own join
+# choice instead of forcing a giant broadcast through the driver
+_BROADCAST_DELETES_MAX_BYTES = 64 * 1024 * 1024
+
+
+def _deletes_small(index: Index) -> bool:
+    p = deletes_path(index)
+    total = 0
+    for root, _dirs, files in os.walk(p):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total <= _BROADCAST_DELETES_MAX_BYTES
+
+
 def filter_deleted(spark: SparkSession, index: Index, results: DataFrame) -> DataFrame:
-    """Anti-join results against the tombstones (no-op without any)."""
+    """Anti-join results against the tombstones (no-op without any). Small
+    tombstone sets broadcast; large ones let AQE pick the join strategy."""
     dels = load_deletes(spark, index)
     if dels is None:
         return results
-    return results.join(F.broadcast(dels), "doc_id", "left_anti")
+    if _deletes_small(index):
+        dels = F.broadcast(dels)
+    return results.join(dels, "doc_id", "left_anti")
 
 
 def compact(spark: SparkSession, index: Index,
@@ -62,7 +81,9 @@ def compact(spark: SparkSession, index: Index,
     dels = load_deletes(spark, index)
     td = spark.read.parquet(td_path).select("doc_id", "term_id", "shard", "tf", "doc_len")
     if dels is not None:
-        td = td.join(F.broadcast(dels), "doc_id", "left_anti")
+        if _deletes_small(index):
+            dels = F.broadcast(dels)
+        td = td.join(dels, "doc_id", "left_anti")
     # rewrite term_doc first so future compactions/merges see the new truth;
     # old copy is parked at term_doc_old until the new one is in place, so a
     # crash mid-swap never destroys the only stage-1 source of truth.

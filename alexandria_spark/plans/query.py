@@ -608,8 +608,29 @@ class LocalIndex:
     Results are exact top-k (the skipped work provably cannot change them).
     """
 
-    def __init__(self, spark: SparkSession, index: Index, cfg: EngineConfig | None = None):
+    # refuse to pin more than this many parquet bytes of postings into
+    # driver RAM (decoded pandas is larger still); past it, serve through
+    # QueryEngine/DocPartEngine, whose state stays on the executors
+    MAX_PIN_BYTES = 2 << 30
+
+    def __init__(self, spark: SparkSession, index: Index, cfg: EngineConfig | None = None,
+                 max_pin_bytes: int | None = None):
         self.cfg = cfg or index.config()
+        import os as _os
+
+        limit = max_pin_bytes if max_pin_bytes is not None else self.MAX_PIN_BYTES
+        total = 0
+        for root, _dirs, files in _os.walk(index.postings_path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += _os.path.getsize(_os.path.join(root, f))
+        if total > limit:
+            raise ValueError(
+                f"postings are {total >> 20} MiB on disk — too large to pin "
+                f"in driver RAM (limit {limit >> 20} MiB). Serve this index "
+                f"through QueryEngine / DocPartEngine / search() instead, "
+                f"or raise max_pin_bytes explicitly."
+            )
         from alexandria_spark.plans.delete import load_deletes
 
         dels = load_deletes(spark, index)

@@ -268,6 +268,14 @@ def test_bmw_metadata_guard_fallback(spark, synth, monkeypatch):
                            rtol=1e-9), (q, mode)
 
 
+def test_local_index_pin_gate(spark, synth):
+    """LocalIndex must refuse to pin a postings table larger than its
+    byte budget into driver RAM, with an actionable error."""
+    idx, _oracle = synth
+    with pytest.raises(ValueError, match="QueryEngine"):
+        LocalIndex(spark, idx, CFG, max_pin_bytes=1)
+
+
 def test_query_engine_metadata_guard(spark, synth, monkeypatch):
     """A QueryEngine over an index whose block metadata exceeds the driver
     guard must serve WITHOUT driver-side pruning and still return identical

@@ -339,18 +339,34 @@ class DocPartEngine:
     (URL.h:76-78 host_hash % nodes)."""
 
     def __init__(self, spark: SparkSession, index: DocPartitionedIndex,
-                 cfg: EngineConfig | None = None, cache: bool = True):
+                 cfg: EngineConfig | None = None, cache: bool = True,
+                 cache_partitions: int | None = None):
         self.spark = spark
         self.index = index
         self.cfg = cfg or index.config()
         self.blocks = index.postings(spark)
         if cache:
             # cache bucket-clustered: the file scan yields one partition per
-            # small bucket directory; re-clustering to shuffle_partitions
-            # before pinning balances the per-query kernel tasks (measured
-            # 0.91 s -> 0.58 s warm p50 at sf0.1)
+            # small bucket directory; re-clustering before pinning balances
+            # the per-query kernel tasks (measured 0.91 s -> 0.58 s warm p50
+            # at sf0.1). Partition count sizes to the DATA, clamped: small
+            # tables take fewer/larger partitions (per-query task-launch
+            # overhead dominates — 32 tasks measured 0.42 s p50 where 8
+            # measured 0.32 s on the same table), big tables cap at
+            # shuffle_partitions so each pinned partition stays
+            # executor-sized at scale.
+            if cache_partitions is None:
+                table_bytes = 0
+                for root, _d, fs in os.walk(index.postings_path):
+                    for f in fs:
+                        if f.endswith(".parquet"):
+                            table_bytes += os.path.getsize(os.path.join(root, f))
+                cache_partitions = max(
+                    8, min(self.cfg.shuffle_partitions,
+                           -(-table_bytes // (64 << 20))),
+                )
             self.blocks = self.blocks.repartition(
-                self.cfg.shuffle_partitions, F.col("bucket")
+                cache_partitions, F.col("bucket")
             ).cache()
             self.blocks.count()  # materialize the cache once
 

@@ -580,9 +580,15 @@ class ImpactEngine:
         )
         self.doc_blocks = index.postings(spark)
         if cache:
-            self.blocks = self.blocks.cache()
+            from alexandria_spark.plans.query import cache_coalesce
+
+            self.blocks = cache_coalesce(
+                self.blocks, os.path.join(index.path, "postings_impact")
+            ).cache()
             self.blocks.count()
-            self.doc_blocks = self.doc_blocks.cache()
+            self.doc_blocks = cache_coalesce(
+                self.doc_blocks, index.postings_path
+            ).cache()
             self.doc_blocks.count()
 
     def single_topk(self, query: str, k: int = 10,

@@ -412,6 +412,26 @@ def search_bmw(
     return [(int(docs_i[i]), float(scores[i])) for i in top]
 
 
+def cache_coalesce(df: DataFrame, table_dir: str) -> DataFrame:
+    """Right-size a scan about to be pinned for warm serving: coalesce down
+    to ~64 MiB-per-partition (floor 8) when the table is small — per-query
+    task-launch overhead dominates small cached tables (25 tasks measured
+    0.45 s warm p50 where 8 measured 0.35 s on the same sf0.1 table) — but
+    NEVER below the scan's natural partitioning when the data is large, so
+    pinned partitions stay executor-sized and parallelism is preserved at
+    scale."""
+    import os as _os
+
+    total = 0
+    for root, _dirs, files in _os.walk(table_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += _os.path.getsize(_os.path.join(root, f))
+    natural = df.rdd.getNumPartitions()
+    target = min(natural, max(8, -(-total // (64 << 20))))
+    return df.coalesce(target) if target < natural else df
+
+
 class QueryEngine:
     """Warm distributed serving: pins the block scan in executor memory and
     the block METADATA on the driver (one-time), so each query plans its
@@ -426,7 +446,7 @@ class QueryEngine:
         self.cfg = cfg or index.config()
         self.blocks = index.postings(spark)
         if cache:
-            self.blocks = self.blocks.cache()
+            self.blocks = cache_coalesce(self.blocks, index.postings_path).cache()
             self.blocks.count()
         # driver-pinned metadata is guarded like search()/search_bmw(): past
         # _META_GUARD_ROWS the engine serves WITHOUT driver-side AND-pruning

@@ -215,7 +215,15 @@ def bm25_score_col(n_docs: float, avg_dl: float, cfg: EngineConfig):
     normalized tf f_q = tf/doc_len (NOT raw count), k1=1.2, b=0.75,
     idf = ln((N - df + 0.5)/(df + 0.5) + 1); float64 math, float32 store."""
     dl = F.col("doc_len").cast("double")
-    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    # df is clamped to n_docs: in a consistent index df <= N by definition
+    # (a no-op there), but under STALE anchored stats (partial refresh holds
+    # n_docs at its last-full-refresh value while appends grow df) df can
+    # exceed N and the raw formula would go NEGATIVE — which breaks the
+    # non-negative-score invariant the impact-ordered early-termination
+    # bounds (plans/impact.py) rely on. The clamp floors idf at
+    # ln(1 + 0.5/(df+0.5)) > 0.
+    df_c = F.least(F.col("df").cast("double"), F.lit(float(n_docs)))
+    idf = F.log((F.lit(float(n_docs)) - df_c + 0.5) / (df_c + 0.5) + 1.0)
     f_q = F.col("tf").cast("double") / dl
     denom = f_q + cfg.k1 * (1.0 - cfg.b + cfg.b * dl / F.lit(float(avg_dl)))
     score = idf * (f_q * (cfg.k1 + 1.0)) / denom
@@ -361,6 +369,10 @@ def blockify(
             df[hot_mask] = np.repeat(hot_vals, gsize)[hot_mask]
         tf = pdf["tf"].to_numpy(np.float64)
         dl = pdf["doc_len"].to_numpy(np.float64)
+        # clamp df to n_docs: no-op in a consistent index; under stale
+        # anchored stats it keeps idf (and every stored score) non-negative,
+        # the invariant the impact-ordered bounds rely on (see bm25_score_col)
+        np.minimum(df, float(n_docs), out=df)
         idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
         f_q = tf / dl
         score = idf * (f_q * (k1 + 1.0)) / (f_q + k1 * (1.0 - b + b * dl / avg_dl))

@@ -16,6 +16,12 @@ The reference's analogue is its section-ordered early exit
 per-block score bounds, and complements (not replaces) the doc-sorted
 table: `postings` stays the source of truth; `postings_impact` is a
 derived, snapshot-committed acceleration table (like any secondary index).
+
+INVARIANT: stored scores are NON-NEGATIVE. The OR bounds treat a partial
+TAAT sum a(d) as a lower bound of d's true score and unseen terms as
+only able to ADD score — both false if scores could go negative. The
+scoring sites guarantee it (df clamped to n_docs, plans/build.py), even
+under stale partial-refresh stats where raw BM25 idf would dip below zero.
 """
 
 from __future__ import annotations

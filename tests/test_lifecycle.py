@@ -1,0 +1,133 @@
+"""Full maintenance lifecycle, end to end: streaming build → append →
+partial refresh → tombstone delete → compact → snapshot expiry — with every
+serving engine (distributed, bmw, LocalIndex, DocPartEngine, ImpactEngine)
+asserted rank-identical after each mutation, and final convergence to a
+clean from-scratch rebuild. Individual transitions are covered by
+test_merge_streaming / test_delete / test_snapshots; this test pins the
+INTERLEAVINGS (e.g. deletes after a partial refresh, derived layouts
+surviving compaction, expiry mid-lifecycle)."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from alexandria_spark.config import EngineConfig
+from alexandria_spark.plans.build import Index, build_index, with_doc_ids
+from alexandria_spark.plans.delete import compact, delete_docs
+from alexandria_spark.plans.docpart import DocPartEngine, DocPartitionedIndex, rebuild_docpart_from_postings
+from alexandria_spark.plans.impact import ImpactEngine, build_impact_postings
+from alexandria_spark.plans.query import LocalIndex, search, search_bmw
+from alexandria_spark.plans.snapshots import expire_snapshots, read_table
+from alexandria_spark.sources.tables import synth_corpus_pdf
+from alexandria_spark.streaming.incremental import ingest_stream, refresh_index
+
+CFG = EngineConfig(num_shards=8, block_size=16, shuffle_partitions=8,
+                   build_waves=1, max_postings_per_salt=64)
+QUERIES = [("def", "or"), ("def return", "and"), ("def return index", "or")]
+
+
+def _corpus(spark, seed, n, offset):
+    pdf = synth_corpus_pdf(n_docs=n, seed=seed)
+    pdf["path"] = [f"part{offset}/{p}" for p in pdf["path"]]
+    docs = with_doc_ids(spark.createDataFrame(pdf))
+    return docs.select("doc_id", F.col("content").alias("text"))
+
+
+def _rank_equiv(got, exp, tag):
+    """Rank identity up to f64 sum-order near-ties: engines sum per-doc f32
+    scores in different (deterministic vs aggregation) orders, so two docs
+    whose true sums agree to the last ulp may swap adjacent ranks. Positions
+    must match exactly unless the swapped docs' scores agree to 1e-9 rel."""
+    assert len(got) == len(exp), (tag, len(got), len(exp))
+    for (gd, gs), (ed, es) in zip(got, exp):
+        if gd != ed:
+            assert abs(gs - es) <= 1e-9 * max(1.0, abs(es)), (tag, gd, ed, gs, es)
+
+
+def _all_engine_results(spark, idx_path, k=10):
+    """The same queries through every engine; assert cross-engine rank
+    identity (tie-aware) and return the distributed path's answers."""
+    idx = Index(idx_path)
+    out = {}
+    local = LocalIndex(spark, idx, CFG)
+    dpe = DocPartEngine(spark, DocPartitionedIndex(idx_path), CFG)
+    ie = ImpactEngine(spark, idx, CFG)
+    try:
+        for q, mode in QUERIES:
+            dist = [(r.doc_id, float(r.score)) for r in
+                    search(spark, idx, q, mode, k=k, cfg=CFG).collect()]
+            _rank_equiv(search_bmw(spark, idx, q, mode, k, CFG), dist,
+                        (q, mode, "bmw"))
+            _rank_equiv(local.search(q, mode, k), dist, (q, mode, "local"))
+            _rank_equiv([(r.doc_id, float(r.score)) for r in
+                         dpe.search(q, mode, k).collect()], dist,
+                        (q, mode, "docpart"))
+            if mode == "or":
+                _rank_equiv(ie.or_topk(q, k), dist, (q, mode, "impact"))
+            out[(q, mode)] = dist
+    finally:
+        dpe.unpersist()
+        ie.unpersist()
+    return out
+
+
+def test_full_maintenance_lifecycle(spark, tmp_path):
+    in_dir = str(tmp_path / "incoming")
+    idx_path = str(tmp_path / "idx")
+
+    # 1. stream in the initial corpus, full refresh, derive both layouts
+    a = _corpus(spark, 41, 60, 0)
+    a.coalesce(1).write.mode("append").parquet(in_dir)
+    ingest_stream(spark, in_dir, idx_path, a.schema, CFG)
+    refresh_index(spark, idx_path, CFG, mode="full")
+    idx = Index(idx_path)
+    build_impact_postings(spark, idx, CFG)
+    rebuild_docpart_from_postings(spark, idx_path, CFG)
+    _all_engine_results(spark, idx_path)
+
+    # 2. append a small batch (under the staleness ratio) → partial refresh;
+    #    derived layouts re-derive automatically; all engines serve the
+    #    union rank-identically
+    b = _corpus(spark, 43, 4, 1)
+    b.coalesce(1).write.mode("append").parquet(in_dir)
+    ingest_stream(spark, in_dir, idx_path, b.schema, CFG)
+    refresh_index(spark, idx_path, CFG, mode="partial")
+    r2 = _all_engine_results(spark, idx_path)
+    # the appended docs are indexed: doc_lengths gained exactly their rows
+    dl = spark.read.parquet(os.path.join(idx_path, "doc_lengths"))
+    b_ids = {r.doc_id for r in b.collect()}
+    assert dl.where(F.col("doc_id").isin([int(x) for x in b_ids])).count() > 0
+
+    # 3. tombstone two currently-served docs → every engine hides them
+    victims = [d for d, _ in r2[("def", "or")][:2]]
+    delete_docs(spark, idx, victims)
+    r3 = _all_engine_results(spark, idx_path)
+    assert not ({d for res in r3.values() for d, _ in res} & set(victims))
+
+    # 4. compact (physically drops tombstones, re-derives layouts) —
+    #    results identical to the tombstone-filtered view
+    compact(spark, idx, CFG)
+    assert not os.path.exists(os.path.join(idx_path, "deletes"))
+    r4 = _all_engine_results(spark, idx_path)
+    for key in r3:
+        assert [d for d, _ in r4[key]] == [d for d, _ in r3[key]], key
+
+    # 5. expire old snapshots mid-lifecycle: HEAD (pinned read) still serves
+    res = expire_snapshots(idx_path, keep_last=1, leftover_min_age_sec=0.0)
+    assert res["retained"]
+    assert read_table(spark, idx_path, "postings").count() > 0
+    r5 = _all_engine_results(spark, idx_path)
+    for key in r4:
+        assert r5[key] == r4[key], key
+
+    # 6. convergence: a from-scratch build over (A ∪ B) − victims serves the
+    #    same ranks AND scores (compact re-anchored the corpus stats)
+    keep = a.unionByName(b).where(~F.col("doc_id").isin([int(v) for v in victims]))
+    clean = build_index(spark, keep, str(tmp_path / "clean"), CFG)
+    for q, mode in QUERIES:
+        exp = [(r.doc_id, float(r.score)) for r in
+               search(spark, clean, q, mode, k=10, cfg=CFG).collect()]
+        _rank_equiv(r5[(q, mode)], exp, (q, mode, "clean-rebuild"))
+        for (_, gs), (_, es) in zip(r5[(q, mode)], exp):
+            assert abs(gs - es) <= 1e-9 * max(1.0, abs(es)), (q, mode)

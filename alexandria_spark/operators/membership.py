@@ -105,9 +105,12 @@ def build_doc_filter(indexed: DataFrame, id_col: str = "doc_id",
             bf.add(pdf[id_col].to_numpy(np.int64))
         yield pd.DataFrame({"bits": [bf.bits.tobytes()]})
 
-    parts = indexed.select(id_col).mapInPandas(fn, schema).collect()
+    # toLocalIterator: partial bitmaps stream to the driver one at a time
+    # (peak driver memory = 2 bitmaps), instead of collect() holding every
+    # partition's bitmap at once — at 1000 partitions x a reference-sized
+    # 78 MiB filter that difference is tens of GB
     bf = BloomFilter(n_bits)
-    for row in parts:
+    for row in indexed.select(id_col).mapInPandas(fn, schema).toLocalIterator():
         bf.bits |= np.frombuffer(row.bits, dtype=np.uint8)
     return bf
 

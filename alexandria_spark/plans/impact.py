@@ -278,6 +278,15 @@ def _search_fallback(spark: SparkSession, index: Index, query: str,
     return [(int(row["doc_id"]), float(row["score"])) for row in r.collect()]
 
 
+def _deletes_gate(index: Index) -> bool:
+    """True when the tombstone set is small enough for the driver-side
+    impact walk; past it the callers fall back to the distributed path
+    (which anti-joins tombstones on the executors)."""
+    from alexandria_spark.plans.delete import _deletes_small, deletes_path
+
+    return not os.path.exists(deletes_path(index)) or _deletes_small(index)
+
+
 def _deleted_u(spark: SparkSession, index: Index) -> np.ndarray:
     """Sorted unsigned tombstoned doc ids (empty when none)."""
     from alexandria_spark.plans.delete import load_deletes
@@ -316,6 +325,8 @@ def impact_single_topk(spark: SparkSession, index: Index, query: str,
     if len(term_ids) != 1:
         raise ValueError("impact_single_topk serves single-term queries")
     tid = term_ids[0]
+    if not _deletes_gate(index):  # mass deletion: serve distributed
+        return _search_fallback(spark, index, query, "or", k, cfg)
     if _blocks is None:  # pin meta scan + payload fetches to one snapshot
         _blocks = _pinned_scan(spark, index, "postings_impact")
     meta = _impact_meta(spark, index, tid, cfg.num_shards, _blocks)
@@ -394,6 +405,8 @@ def impact_or_topk(spark: SparkSession, index: Index, query: str,
         return []
     if len(term_ids) == 1:
         return impact_single_topk(spark, index, query, k, cfg, _stats, _blocks)
+    if not _deletes_gate(index):  # mass deletion: serve distributed
+        return _search_fallback(spark, index, query, "or", k, cfg)
     deleted_u = _deleted_u(spark, index)
 
     if _blocks is None:  # pin meta scans + payload fetches to one snapshot

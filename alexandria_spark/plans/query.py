@@ -30,6 +30,8 @@ order as tie-break (index_manager.cpp:279-282, generic_record.h:50-68).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
@@ -307,6 +309,14 @@ def search_bmw(
     term_ids = _query_term_ids(query, mode, cfg)
     if not term_ids:
         return []
+    from alexandria_spark.plans.delete import _deletes_small, deletes_path
+
+    if os.path.exists(deletes_path(index)) and not _deletes_small(index):
+        # the bucket walk needs the tombstone set driver-side; a mass
+        # deletion makes that a giant array — serve exactly via the
+        # distributed path, which anti-joins tombstones on the executors
+        r = search(spark, index, query, mode=mode, k=k, cfg=cfg)
+        return [(int(row["doc_id"]), float(row["score"])) for row in r.collect()]
     shards = sorted({_shard_of(t, cfg.num_shards) for t in term_ids})
     blocks = index.postings(spark).where(
         F.col("shard").isin(shards) & F.col("term_id").isin(term_ids)
@@ -401,6 +411,12 @@ def search_bmw(
     # matches reachable.
     p1 = set(phase1)
     remaining = [b for b in order if feasible[b] and b not in p1 and ub[b] >= tau]
+    if remaining and float(sum(docs_est[b] for b in remaining)) > 2_000_000:
+        # adversarial score distribution: the bound prunes almost nothing,
+        # and phase 2 would ship a large share of the posting stream to the
+        # driver — serve exactly via the distributed aggregation instead
+        r = search(spark, index, query, mode=mode, k=k, cfg=cfg)
+        return [(int(row["doc_id"]), float(row["score"])) for row in r.collect()]
     if remaining:
         d2, s2 = _drop_deleted(*_eval_buckets(remaining))
         docs_u = np.concatenate([docs_u, d2])

@@ -48,13 +48,9 @@ _BROADCAST_DELETES_MAX_BYTES = 64 * 1024 * 1024
 
 
 def _deletes_small(index: Index) -> bool:
-    p = deletes_path(index)
-    total = 0
-    for root, _dirs, files in os.walk(p):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, f))
-    return total <= _BROADCAST_DELETES_MAX_BYTES
+    from alexandria_spark.plans.checkpoint import parquet_dir_bytes
+
+    return parquet_dir_bytes(deletes_path(index)) <= _BROADCAST_DELETES_MAX_BYTES
 
 
 def filter_deleted(spark: SparkSession, index: Index, results: DataFrame) -> DataFrame:

@@ -356,14 +356,14 @@ class DocPartEngine:
             # shuffle_partitions so each pinned partition stays
             # executor-sized at scale.
             if cache_partitions is None:
-                table_bytes = 0
-                for root, _d, fs in os.walk(index.postings_path):
-                    for f in fs:
-                        if f.endswith(".parquet"):
-                            table_bytes += os.path.getsize(os.path.join(root, f))
-                cache_partitions = max(
-                    8, min(self.cfg.shuffle_partitions,
-                           -(-table_bytes // (64 << 20))),
+                from alexandria_spark.plans.checkpoint import parquet_dir_bytes
+
+                table_bytes = parquet_dir_bytes(index.postings_path)
+                # floor 8, then cap at shuffle_partitions (the cap wins when
+                # the configured parallelism is below the floor)
+                cache_partitions = min(
+                    self.cfg.shuffle_partitions,
+                    max(8, -(-table_bytes // (64 << 20))),
                 )
             self.blocks = self.blocks.repartition(
                 cache_partitions, F.col("bucket")

@@ -267,15 +267,21 @@ class _ImpactBlockReader:
 
 
 def _search_fallback(spark: SparkSession, index: Index, query: str,
-                     mode: str, k: int,
-                     cfg: EngineConfig) -> list[tuple[int, float]]:
+                     mode: str, k: int, cfg: EngineConfig,
+                     _stats: dict | None = None,
+                     _doc_blocks=None) -> list[tuple[int, float]]:
     """Exact distributed top-k via plans.query.search — the fallback when a
-    driver metadata guard trips (same result contract: score desc,
-    unsigned doc asc)."""
-    from alexandria_spark.plans.query import search
+    driver-volume guard trips (same result contract: score desc, unsigned
+    doc asc). A warm engine's cached doc-sorted scan rides through
+    ``_doc_blocks`` so guard-tripped queries still serve from executor
+    memory; ``_stats`` keeps its documented keys (zeros + a marker)."""
+    from alexandria_spark.plans.query import _collect_topk
 
-    r = search(spark, index, query, mode=mode, k=k, cfg=cfg)
-    return [(int(row["doc_id"]), float(row["score"])) for row in r.collect()]
+    if _stats is not None:
+        _stats.update(blocks_read=0, blocks_total=0, payload_blocks_fetched=0,
+                      fetch_jobs=0, blocks_read_p1=0, blocks_fetched_p2=0,
+                      n_candidates=0, fallback="distributed")
+    return _collect_topk(spark, index, query, mode, k, cfg, _blocks=_doc_blocks)
 
 
 def _deletes_gate(index: Index) -> bool:
@@ -325,13 +331,18 @@ def impact_single_topk(spark: SparkSession, index: Index, query: str,
     if len(term_ids) != 1:
         raise ValueError("impact_single_topk serves single-term queries")
     tid = term_ids[0]
+    # fallbacks reuse _blocks when a warm engine passed its cached impact
+    # scan: the impact layout decodes to the identical posting multiset
+    # (test_impact_layout_same_postings), so search() serves exactly from it
     if not _deletes_gate(index):  # mass deletion: serve distributed
-        return _search_fallback(spark, index, query, "or", k, cfg)
+        return _search_fallback(spark, index, query, "or", k, cfg, _stats,
+                                _doc_blocks=_blocks)
     if _blocks is None:  # pin meta scan + payload fetches to one snapshot
         _blocks = _pinned_scan(spark, index, "postings_impact")
     meta = _impact_meta(spark, index, tid, cfg.num_shards, _blocks)
     if meta is None:  # metadata guard tripped — exact distributed fallback
-        return _search_fallback(spark, index, query, "or", k, cfg)
+        return _search_fallback(spark, index, query, "or", k, cfg, _stats,
+                                _doc_blocks=_blocks)
     if len(meta) == 0:
         if _stats is not None:
             _stats.update(blocks_read=0, blocks_total=0,
@@ -406,7 +417,8 @@ def impact_or_topk(spark: SparkSession, index: Index, query: str,
     if len(term_ids) == 1:
         return impact_single_topk(spark, index, query, k, cfg, _stats, _blocks)
     if not _deletes_gate(index):  # mass deletion: serve distributed
-        return _search_fallback(spark, index, query, "or", k, cfg)
+        return _search_fallback(spark, index, query, "or", k, cfg, _stats,
+                                _doc_blocks=_doc_blocks)
     deleted_u = _deleted_u(spark, index)
 
     if _blocks is None:  # pin meta scans + payload fetches to one snapshot
@@ -418,8 +430,10 @@ def impact_or_topk(spark: SparkSession, index: Index, query: str,
     if any(m is None for m in metas.values()):
         # a hot term tripped the metadata guard: the driver-orchestrated
         # impact walk would hold its block list — serve the whole query
-        # through the exact distributed path instead
-        return _search_fallback(spark, index, query, "or", k, cfg)
+        # through the exact distributed path instead (over the warm cached
+        # doc-sorted scan when an engine provided one)
+        return _search_fallback(spark, index, query, "or", k, cfg, _stats,
+                                _doc_blocks=_doc_blocks)
     readers = {
         t: _ImpactBlockReader(spark, index, t, m, cfg.num_shards,
                               first_batch=2, _blocks=_blocks)

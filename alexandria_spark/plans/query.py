@@ -160,6 +160,7 @@ def search(
     k: int | None = 10,
     cfg: EngineConfig | None = None,
     prune: bool = True,
+    _blocks: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 search. Returns DataFrame (doc_id, score, n_terms) ordered
     score desc, unsigned doc_id asc, limited to k. Modes: and | or | phrase.
@@ -174,7 +175,8 @@ def search(
         return spark.createDataFrame([], RESULT_SCHEMA)
     shards = sorted({_shard_of(t, cfg.num_shards) for t in term_ids})
 
-    blocks = index.postings(spark).where(
+    src = _blocks if _blocks is not None else index.postings(spark)
+    blocks = src.where(
         F.col("shard").isin(shards) & F.col("term_id").isin(term_ids)
     )
 
@@ -315,8 +317,7 @@ def search_bmw(
         # the bucket walk needs the tombstone set driver-side; a mass
         # deletion makes that a giant array — serve exactly via the
         # distributed path, which anti-joins tombstones on the executors
-        r = search(spark, index, query, mode=mode, k=k, cfg=cfg)
-        return [(int(row["doc_id"]), float(row["score"])) for row in r.collect()]
+        return _collect_topk(spark, index, query, mode, k, cfg)
     shards = sorted({_shard_of(t, cfg.num_shards) for t in term_ids})
     blocks = index.postings(spark).where(
         F.col("shard").isin(shards) & F.col("term_id").isin(term_ids)
@@ -328,8 +329,7 @@ def search_bmw(
         # metadata overflow (hot terms at scale): the bucket-pruning plan
         # would stall the driver — serve exactly via the fully distributed
         # path instead (same result contract: score desc, unsigned doc asc)
-        r = search(spark, index, query, mode=mode, k=k, cfg=cfg)
-        return [(int(row["doc_id"]), float(row["score"])) for row in r.collect()]
+        return _collect_topk(spark, index, query, mode, k, cfg)
     if len(meta) == 0 or (
         mode == "and" and set(meta["term_id"]) != set(term_ids)
     ):
@@ -388,8 +388,9 @@ def search_bmw(
     from alexandria_spark.plans.delete import load_deletes
 
     dels = load_deletes(spark, index)
+    # Arrow toPandas, not collect(): Row objects cost ~100x the numpy bytes
     deleted_u = (
-        np.sort(np.array([r.doc_id for r in dels.collect()], dtype=np.int64).view(np.uint64))
+        np.sort(dels.toPandas()["doc_id"].to_numpy(np.int64).view(np.uint64))
         if dels is not None else np.empty(0, np.uint64)
     )
 
@@ -415,8 +416,7 @@ def search_bmw(
         # adversarial score distribution: the bound prunes almost nothing,
         # and phase 2 would ship a large share of the posting stream to the
         # driver — serve exactly via the distributed aggregation instead
-        r = search(spark, index, query, mode=mode, k=k, cfg=cfg)
-        return [(int(row["doc_id"]), float(row["score"])) for row in r.collect()]
+        return _collect_topk(spark, index, query, mode, k, cfg)
     if remaining:
         d2, s2 = _drop_deleted(*_eval_buckets(remaining))
         docs_u = np.concatenate([docs_u, d2])
@@ -428,6 +428,18 @@ def search_bmw(
     return [(int(docs_i[i]), float(scores[i])) for i in top]
 
 
+def _collect_topk(spark: SparkSession, index: Index, query: str, mode: str,
+                  k: int, cfg: EngineConfig,
+                  _blocks: DataFrame | None = None) -> list[tuple[int, float]]:
+    """Exact top-k via the fully distributed path, collected — the shared
+    fallback every driver-volume guard routes to (same result contract:
+    score desc, unsigned doc asc). ``_blocks`` substitutes a warm engine's
+    cached scan so a guard-tripped query still serves from executor memory
+    instead of a cold parquet read."""
+    r = search(spark, index, query, mode=mode, k=k, cfg=cfg, _blocks=_blocks)
+    return [(int(row["doc_id"]), float(row["score"])) for row in r.collect()]
+
+
 def cache_coalesce(df: DataFrame, table_dir: str) -> DataFrame:
     """Right-size a scan about to be pinned for warm serving: coalesce down
     to ~64 MiB-per-partition (floor 8) when the table is small — per-query
@@ -436,15 +448,10 @@ def cache_coalesce(df: DataFrame, table_dir: str) -> DataFrame:
     NEVER below the scan's natural partitioning when the data is large, so
     pinned partitions stay executor-sized and parallelism is preserved at
     scale."""
-    import os as _os
+    from alexandria_spark.plans.checkpoint import parquet_dir_bytes
 
-    total = 0
-    for root, _dirs, files in _os.walk(table_dir):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += _os.path.getsize(_os.path.join(root, f))
     natural = df.rdd.getNumPartitions()
-    target = min(natural, max(8, -(-total // (64 << 20))))
+    target = min(natural, max(8, -(-parquet_dir_bytes(table_dir) // (64 << 20))))
     return df.coalesce(target) if target < natural else df
 
 
@@ -652,14 +659,10 @@ class LocalIndex:
     def __init__(self, spark: SparkSession, index: Index, cfg: EngineConfig | None = None,
                  max_pin_bytes: int | None = None):
         self.cfg = cfg or index.config()
-        import os as _os
+        from alexandria_spark.plans.checkpoint import parquet_dir_bytes
 
         limit = max_pin_bytes if max_pin_bytes is not None else self.MAX_PIN_BYTES
-        total = 0
-        for root, _dirs, files in _os.walk(index.postings_path):
-            for f in files:
-                if f.endswith(".parquet"):
-                    total += _os.path.getsize(_os.path.join(root, f))
+        total = parquet_dir_bytes(index.postings_path)
         if total > limit:
             raise ValueError(
                 f"postings are {total >> 20} MiB on disk — too large to pin "
@@ -670,8 +673,9 @@ class LocalIndex:
         from alexandria_spark.plans.delete import load_deletes
 
         dels = load_deletes(spark, index)
+        # Arrow toPandas, not collect(): Row objects cost ~100x the numpy bytes
         self.deleted = (
-            np.sort(np.array([r.doc_id for r in dels.collect()], dtype=np.int64).view(np.uint64))
+            np.sort(dels.toPandas()["doc_id"].to_numpy(np.int64).view(np.uint64))
             if dels is not None
             else np.empty(0, np.uint64)
         )

@@ -119,7 +119,11 @@ def test_full_maintenance_lifecycle(spark, tmp_path):
     assert read_table(spark, idx_path, "postings").count() > 0
     r5 = _all_engine_results(spark, idx_path)
     for key in r4:
-        assert r5[key] == r4[key], key
+        # distributed f64 partial-sum order varies run to run — compare
+        # with the same tie-aware tolerance as everything else here
+        _rank_equiv(r5[key], r4[key], (key, "post-expire"))
+        for (_, gs), (_, es) in zip(r5[key], r4[key]):
+            assert abs(gs - es) <= 1e-9 * max(1.0, abs(es)), key
 
     # 6. convergence: a from-scratch build over (A ∪ B) − victims serves the
     #    same ranks AND scores (compact re-anchored the corpus stats)

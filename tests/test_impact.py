@@ -206,3 +206,62 @@ def test_exact_scores_distributed_fallback(spark, idx, monkeypatch):
     assert set(got) == set(base)
     for d in base:
         assert abs(got[d] - base[d]) <= 1e-9 * max(1.0, abs(base[d]))
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=4),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-3, max_value=3),         # term_id
+            st.integers(min_value=0, max_value=2),           # salt
+            st.integers(min_value=0, max_value=2**64 - 1),   # unsigned doc
+            st.floats(min_value=0.0, max_value=10.0,         # non-neg score
+                      allow_nan=False, width=32),
+            st.integers(min_value=1, max_value=7),           # tf
+        ),
+        max_size=60,
+        unique_by=lambda r: (r[0], r[1], r[2]),
+    ),
+)
+def test_impact_arrange_property(block_size, rows):
+    """_impact_arrange under adversarial inputs (u64 doc extremes, duplicate
+    scores everywhere, tiny blocks): (1) decode reproduces the exact posting
+    multiset; (2) within each (term, salt) group, block b's max_score
+    dominates every later block's scores (the early-termination soundness
+    condition); (3) docs ascend unsigned inside each block (codec
+    contract)."""
+    import pandas as pd
+
+    from alexandria_spark.plans.blocks import decode_blocks
+    from alexandria_spark.plans.impact import _impact_arrange
+
+    if not rows:
+        return
+    pdf = pd.DataFrame(rows, columns=["term_id", "salt", "doc_u", "score", "tf"])
+    pdf["doc_id"] = pdf["doc_u"].to_numpy(np.uint64).view(np.int64)
+    pdf = pdf.drop(columns=["doc_u"])
+    out = _impact_arrange(pdf.copy(), block_size, keep_tf=True, num_shards=4)
+
+    dec = decode_blocks(out, want_tf=True)
+    dec["salt"] = np.repeat(out["salt"].to_numpy(np.int32),
+                            out["n"].to_numpy(np.int64))
+    got = sorted(map(tuple, dec[["term_id", "salt", "doc_id", "score", "tf"]]
+                     .to_numpy()))
+    exp = sorted(map(tuple,
+                     pdf.assign(score=pdf["score"].astype(np.float32))
+                     [["term_id", "salt", "doc_id", "score", "tf"]].to_numpy()))
+    assert got == exp
+
+    for (_t, _s), grp in out.groupby(["term_id", "salt"]):
+        grp = grp.sort_values("block_id")
+        ms = grp["max_score"].to_numpy(np.float32)
+        assert (ms[:-1] >= ms[1:]).all() if len(ms) > 1 else True
+        for _, row in grp.iterrows():
+            d = decode_blocks(pd.DataFrame([row]))
+            du = d["doc_id"].to_numpy().view(np.uint64)
+            assert (du[:-1] <= du[1:]).all() if len(du) > 1 else True

@@ -65,10 +65,19 @@ def filter_deleted(spark: SparkSession, index: Index, results: DataFrame) -> Dat
 
 
 def compact(spark: SparkSession, index: Index,
-            cfg: EngineConfig | None = None) -> Index:
+            cfg: EngineConfig | None = None,
+            doc_store: str | None = None,
+            doc_store_buckets: int = 32) -> Index:
     """Physically drop tombstoned docs: rebuild postings/stats from the
     retained term_doc rows, then clear the tombstones. Requires the index
-    to have been built with materialize_stage1=True."""
+    to have been built with materialize_stage1=True.
+
+    ``doc_store`` names the bucketed doc-store table paired with this index
+    (the one streaming ingest appends to): when given, compaction also
+    physically removes the tombstoned docs' raw payloads from the store
+    (gc_doc_store — the reference's hash_table remove,
+    /root/reference/tests/test_hash_table.cpp), so a data-retention delete
+    leaves no bytes behind anywhere."""
     cfg = cfg or index.config()
     td_path = os.path.join(index.path, "term_doc")
     recover_swap(td_path)  # repair a crash from a previous compact
@@ -80,6 +89,10 @@ def compact(spark: SparkSession, index: Index,
         if _deletes_small(index):
             dels = F.broadcast(dels)
         td = td.join(dels, "doc_id", "left_anti")
+        if doc_store is not None:
+            from alexandria_spark.sources.docstore import gc_doc_store
+
+            gc_doc_store(dels, doc_store, doc_store_buckets)
     # rewrite term_doc first so future compactions/merges see the new truth;
     # old copy is parked at term_doc_old until the new one is in place, so a
     # crash mid-swap never destroys the only stage-1 source of truth.

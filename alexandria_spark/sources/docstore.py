@@ -18,16 +18,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
-def save_doc_store(docs: DataFrame, name: str = "ax_doc_store",
-                   buckets: int = 32) -> None:
-    """Persist the doc store bucketed+sorted by doc_id (overwrite). Drops a
-    pre-existing table, including a dangling warehouse location left by a
+def _drop_table_and_dir(spark: SparkSession, name: str) -> None:
+    """Drop a table including a dangling warehouse location left by a
     previous session (the default in-memory catalog forgets tables, the
     warehouse directory does not)."""
     import os
     import shutil
 
-    spark = docs.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     for prefix in ("file://", "file:"):
@@ -35,6 +32,13 @@ def save_doc_store(docs: DataFrame, name: str = "ax_doc_store",
             wh = wh[len(prefix):]
             break
     shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+
+
+def save_doc_store(docs: DataFrame, name: str = "ax_doc_store",
+                   buckets: int = 32) -> None:
+    """Persist the doc store bucketed+sorted by doc_id (overwrite)."""
+    spark = docs.sparkSession
+    _drop_table_and_dir(spark, name)
     (
         docs.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
         .mode("overwrite").format("parquet").saveAsTable(name)
@@ -57,6 +61,43 @@ def append_doc_store(docs: DataFrame, name: str = "ax_doc_store",
         docs.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
         .mode("append").format("parquet").saveAsTable(name)
     )
+
+
+def gc_doc_store(tombstones: DataFrame, name: str = "ax_doc_store",
+                 buckets: int = 32) -> bool:
+    """Physically remove tombstoned docs' payloads from the bucketed store.
+
+    ``filter_deleted`` already hides tombstoned docs from every query path,
+    but their raw text would otherwise sit in the store forever — the
+    reference's on-disk hash table supports physical remove
+    (/root/reference/tests/test_hash_table.cpp, remove cases), and a
+    data-retention user needs the bytes gone, not just unreachable.
+
+    One distributed anti-join rewrite into a fresh table with the SAME
+    bucket spec (so the shuffle-free decoration plan is preserved), then a
+    catalog-level rename swap. The swap is two metadata ops — a crash
+    between them leaves the data parked at ``{name}_old`` (recovered by the
+    next GC), never deleted-but-unreplaced. Returns False if the store
+    table does not exist (nothing to do)."""
+    spark = tombstones.sparkSession
+    # recover a crash between the two renames of a previous GC: the new
+    # table never landed, the old one holds the only copy — restore it
+    if not spark.catalog.tableExists(name) and spark.catalog.tableExists(f"{name}_old"):
+        spark.sql(f"ALTER TABLE {name}_old RENAME TO {name}")
+    if not spark.catalog.tableExists(name):
+        return False
+    kept = spark.table(name).join(tombstones.select("doc_id"), "doc_id", "left_anti")
+    tmp = f"{name}_compacting"
+    _drop_table_and_dir(spark, tmp)
+    (
+        kept.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .mode("overwrite").format("parquet").saveAsTable(tmp)
+    )
+    _drop_table_and_dir(spark, f"{name}_old")
+    spark.sql(f"ALTER TABLE {name} RENAME TO {name}_old")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
+    spark.sql(f"DROP TABLE {name}_old")
+    return True
 
 
 def load_doc_store(spark: SparkSession, name: str = "ax_doc_store") -> DataFrame:

@@ -29,6 +29,10 @@ def main():
                    choices=["refresh-partial", "refresh-full", "compact",
                             "expire", "derive-impact", "derive-docpart"])
     p.add_argument("--keep-last", type=int, default=3)
+    p.add_argument("--doc-store", default=None,
+                   help="bucketed doc-store table paired with this index: "
+                        "compact also GCs tombstoned payloads from it")
+    p.add_argument("--doc-store-buckets", type=int, default=32)
     p.add_argument("--leftover-min-age-sec", type=float, default=6 * 3600.0,
                    help="expire deletes _rebuilding staging dirs only when "
                         "idle this long (live-writer safety); _old swap "
@@ -51,7 +55,8 @@ def main():
     elif args.op == "compact":
         from alexandria_spark.plans.delete import compact
 
-        compact(spark, idx, cfg)
+        compact(spark, idx, cfg, doc_store=args.doc_store,
+                doc_store_buckets=args.doc_store_buckets)
     elif args.op == "derive-impact":
         from alexandria_spark.plans.impact import build_impact_postings
 

@@ -75,11 +75,12 @@ def _all_engine_results(spark, idx_path, k=10):
 def test_full_maintenance_lifecycle(spark, tmp_path):
     in_dir = str(tmp_path / "incoming")
     idx_path = str(tmp_path / "idx")
+    store = "ax_lifecycle_store"
 
     # 1. stream in the initial corpus, full refresh, derive both layouts
     a = _corpus(spark, 41, 60, 0)
     a.coalesce(1).write.mode("append").parquet(in_dir)
-    ingest_stream(spark, in_dir, idx_path, a.schema, CFG)
+    ingest_stream(spark, in_dir, idx_path, a.schema, CFG, doc_store=store)
     refresh_index(spark, idx_path, CFG, mode="full")
     idx = Index(idx_path)
     build_impact_postings(spark, idx, CFG)
@@ -91,7 +92,7 @@ def test_full_maintenance_lifecycle(spark, tmp_path):
     #    union rank-identically
     b = _corpus(spark, 43, 4, 1)
     b.coalesce(1).write.mode("append").parquet(in_dir)
-    ingest_stream(spark, in_dir, idx_path, b.schema, CFG)
+    ingest_stream(spark, in_dir, idx_path, b.schema, CFG, doc_store=store)
     refresh_index(spark, idx_path, CFG, mode="partial")
     r2 = _all_engine_results(spark, idx_path)
     # the appended docs are indexed: doc_lengths gained exactly their rows
@@ -105,13 +106,28 @@ def test_full_maintenance_lifecycle(spark, tmp_path):
     r3 = _all_engine_results(spark, idx_path)
     assert not ({d for res in r3.values() for d, _ in res} & set(victims))
 
-    # 4. compact (physically drops tombstones, re-derives layouts) —
-    #    results identical to the tombstone-filtered view
-    compact(spark, idx, CFG)
+    # 4. compact (physically drops tombstones, re-derives layouts, GCs the
+    #    victims' payloads out of the bucketed doc store) — results
+    #    identical to the tombstone-filtered view
+    from alexandria_spark.sources.docstore import decorate_from_store, load_doc_store
+
+    assert load_doc_store(spark, store).count() == 64
+    compact(spark, idx, CFG, doc_store=store)
     assert not os.path.exists(os.path.join(idx_path, "deletes"))
+    gc_store = load_doc_store(spark, store)
+    assert gc_store.count() == 62  # the two victims' payloads are GONE
+    assert gc_store.where(
+        F.col("doc_id").isin([int(v) for v in victims])).count() == 0
     r4 = _all_engine_results(spark, idx_path)
     for key in r3:
         assert [d for d, _ in r4[key]] == [d for d, _ in r3[key]], key
+    # a decorated serve of the victims' former top query shows no trace of
+    # them — no id, no snippet text
+    served = decorate_from_store(
+        search(spark, Index(idx_path), "def", "or", k=64, cfg=CFG), gc_store
+    ).collect()
+    assert served and not ({r.doc_id for r in served} & set(victims))
+    assert all(r.snippet is not None for r in served)
 
     # 5. expire old snapshots mid-lifecycle: HEAD (pinned read) still serves
     res = expire_snapshots(idx_path, keep_last=1, leftover_min_age_sec=0.0)

@@ -181,6 +181,19 @@ def test_bucketed_doc_store_join_has_no_store_side_shuffle(spark, tmp_path):
         # exactly one Exchange: the results side; the bucketed store scan
         # feeds the join without a shuffle
         assert plan.count("Exchange") == 1, plan
+
+        # physical GC rewrites the store through a rename swap — the bucket
+        # spec must survive so decoration stays store-side-shuffle-free
+        from alexandria_spark.sources.docstore import gc_doc_store
+
+        tombs = spark.range(5).select(F.col("id").alias("doc_id"))
+        assert gc_doc_store(tombs, "ax_store_test", buckets=8)
+        store2 = load_doc_store(spark, "ax_store_test")
+        assert store2.count() == 995
+        joined2 = decorate_from_store(results, store2)
+        assert joined2.count() == 20
+        assert joined2.where(F.col("snippet").isNull()).count() == 5
+        assert _plan(joined2).count("Exchange") == 1, _plan(joined2)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 

@@ -428,6 +428,27 @@ def search_bmw(
     return [(int(docs_i[i]), float(scores[i])) for i in top]
 
 
+def choose_engine(query: str, mode: str, cfg: EngineConfig) -> str:
+    """Serving-layout auto selection (query_submit.py --engine auto).
+
+    Documented rules, from the measured layout strengths (BENCH.md): the
+    doc-partitioned layout is the best warm AND path (per-bucket WAND on
+    executors); the impact-ordered layout wins OR and single-term queries
+    (TAAT over score-ordered blocks with early exit); a phrase is a single
+    n-gram key over the term layout, where search_bmw's bucket pruning
+    serves with the least work. Every engine keeps its own guard-state
+    fallbacks (metadata overflow / mass deletion → exact distributed path),
+    so auto only picks the LAYOUT — exactness is invariant. A missing
+    layout raises that engine's actionable FileNotFoundError (how to derive
+    it, which engines serve without it) rather than silently degrading.
+    """
+    if mode == "phrase":
+        return "bmw"
+    if len(_query_term_ids(query, mode, cfg)) <= 1:
+        return "impact"
+    return "docpart" if mode == "and" else "impact"
+
+
 def _collect_topk(spark: SparkSession, index: Index, query: str, mode: str,
                   k: int, cfg: EngineConfig,
                   _blocks: DataFrame | None = None) -> list[tuple[int, float]]:

@@ -24,36 +24,54 @@ def main():
     p.add_argument("--mode", default="and", choices=["and", "or", "phrase"])
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--engine", default="dist",
-                   choices=["dist", "bmw", "local", "docpart", "impact"])
+                   choices=["auto", "dist", "bmw", "local", "docpart", "impact"])
     args = p.parse_args()
 
     from alexandria_spark.plans.build import Index
-    from alexandria_spark.plans.query import LocalIndex, search, search_bmw
+    from alexandria_spark.plans.query import (
+        LocalIndex,
+        choose_engine,
+        search,
+        search_bmw,
+    )
 
     spark = SparkSession.builder.appName("alexandria-query").getOrCreate()
     idx = Index(args.index)
+    engine = args.engine
+    if engine == "auto":
+        # documented rules (choose_engine): AND -> docpart, OR/single-term ->
+        # impact, phrase -> bmw over the term layout. A missing layout
+        # surfaces that engine's actionable FileNotFoundError.
+        engine = choose_engine(args.query, args.mode, idx.config())
     t0 = time.time()
-    if args.engine == "local":
+    if engine == "local":
         hits = LocalIndex(spark, idx).search(args.query, args.mode, args.k)
-    elif args.engine == "bmw":
+    elif engine == "bmw":
         hits = search_bmw(spark, idx, args.query, args.mode, args.k)
-    elif args.engine == "docpart":
+    elif engine == "docpart":
         from alexandria_spark.plans.docpart import DocPartitionedIndex, search_docpart
 
         hits = [(r.doc_id, r.score) for r in
                 search_docpart(spark, DocPartitionedIndex(args.index),
                                args.query, args.mode, args.k).collect()]
-    elif args.engine == "impact":
-        from alexandria_spark.plans.impact import impact_or_topk
+    elif engine == "impact":
+        from alexandria_spark.plans.impact import impact_or_topk, impact_single_topk
 
-        if args.mode != "or":
-            raise SystemExit("--engine impact serves --mode or queries")
-        hits = impact_or_topk(spark, idx, args.query, args.k)
+        if args.mode == "phrase":
+            raise SystemExit("--engine impact serves or/single-term queries; "
+                             "use --engine auto|bmw|dist for phrase mode")
+        if args.mode == "or":
+            hits = impact_or_topk(spark, idx, args.query, args.k)
+        else:
+            # auto routes single-term AND queries here (a 1-term AND is a
+            # 1-term OR); explicit --engine impact keeps the same contract
+            hits = impact_single_topk(spark, idx, args.query, args.k)
     else:
         hits = [(r.doc_id, r.score) for r in
                 search(spark, idx, args.query, args.mode, args.k).collect()]
     print(json.dumps({
-        "query": args.query, "mode": args.mode, "engine": args.engine,
+        "query": args.query, "mode": args.mode, "engine": engine,
+        "engine_requested": args.engine,
         "latency_sec": round(time.time() - t0, 4),
         "hits": [{"doc_id": d, "score": s} for d, s in hits],
     }))

@@ -95,6 +95,39 @@ def phase_build(args: list[str]) -> None:
     print(json.dumps(run_build(cores, sf_dir, index_path, throughput)))
 
 
+# Host-weather probe: fixed-work single-core memcpy (the binding resource for
+# this bench is DRAM bandwidth — BENCH.md's knee analysis). 24 GiB of copies
+# takes ~2.7 s on this host when healthy (~9 GB/s single-core, calibrated
+# idle) and proportionally longer when the host is degraded, which is exactly
+# the signal: a rep whose surrounding probes deviate >15% from the session
+# median ran under different machine weather than its peers.
+_PROBE_COPIES = 384          # x 64 MiB = 24 GiB of traffic
+_PROBE_REF_MB_S = float(os.environ.get("SPARK_GRAFT_PROBE_REF", "10400"))
+
+
+def phase_probe() -> None:
+    import numpy as np
+
+    src = np.empty(64 * 1024 * 1024, dtype=np.uint8)
+    src[:] = 7
+    dst = np.empty_like(src)
+    np.copyto(dst, src)  # touch every page before timing
+    t0 = time.time()
+    for _ in range(_PROBE_COPIES):
+        np.copyto(dst, src)
+    dt = time.time() - t0
+    print(json.dumps({"probe_mb_per_sec": round(_PROBE_COPIES * 64 / dt, 1),
+                      "probe_sec": round(dt, 3)}))
+
+
+def _loadavg() -> list[float]:
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        return []
+
+
 def main() -> None:
     """Always prints one JSON line; a failing phase is recorded in the
     output (error_* keys) instead of crashing the bench."""
@@ -240,9 +273,11 @@ def main() -> None:
 
         pair = (1, 4)           # N vs 4N, below the DRAM-contention knee
         curve = (8, min(32, cpus))  # extra levels, single rep
-        pair_reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+        pair_reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+        max_reps = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_REPS",
+                                      str(pair_reps + 3)))
 
-        def _one_build(cores: int, rep: int) -> dict:
+        def _pinned(cores: int, *argv: str, timeout: int = 3600) -> dict:
             # CPU-affinity pinning: local[N] alone is NOT an N-core machine —
             # the python workers and JVM service threads spill onto the idle
             # host's other cores (measured ~30% free speedup for local[1]),
@@ -251,46 +286,107 @@ def main() -> None:
             pin = ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"] \
                 if shutil.which("taskset") else []
             r = subprocess.run(
-                [*pin, sys.executable, os.path.abspath(__file__), "--phase-build",
-                 str(cores), corpus_path,
-                 os.path.join(tmp, f"idx_c{cores}_{rep}"), "throughput"],
-                capture_output=True, text=True, timeout=3600,
+                [*pin, sys.executable, os.path.abspath(__file__), *argv],
+                capture_output=True, text=True, timeout=timeout,
             )
             return json.loads(r.stdout.strip().splitlines()[-1])
 
-        # Graded pair protocol: ALTERNATING paired reps (1,4,1,4,...) with
-        # min-of per level. Host throughput wanders ±30% across hours (cloud
-        # noise, BENCH.md); alternation exposes both levels to the same
-        # machine weather within each rep, and min-of picks each level's
-        # cleanest run instead of letting one slow outlier set the ratio.
-        scaling_runs: dict[int, dict] = {}
-        rep_ratios = []
-        for rep in range(pair_reps):
-            rep_rates = {}
+        def _one_build(cores: int, rep: int) -> dict:
+            return _pinned(cores, "--phase-build", str(cores), corpus_path,
+                           os.path.join(tmp, f"idx_c{cores}_{rep}"),
+                           "throughput")
+
+        def _probe() -> float:
+            # settle first: right after a build leg the kernel is still
+            # reclaiming the exited JVM's pages, which depresses memcpy for
+            # a few seconds and would spuriously invalidate a healthy rep
+            time.sleep(4)
+            return float(_pinned(1, "--phase-probe",
+                                 timeout=300)["probe_mb_per_sec"])
+
+        # Graded pair protocol: ALTERNATING paired reps (1,4,1,4,...), each
+        # rep bracketed by host-weather probes (fixed-work single-core memcpy
+        # before / between / after its two legs) plus /proc/loadavg samples.
+        # Host throughput wanders ±30% across hours (cloud noise, BENCH.md)
+        # and round 4's official artifact was taken on a demonstrably
+        # degraded host hour (32c slower than 8c) — so reps whose probes
+        # deviate >15% from the session median are marked INVALID and re-run
+        # within a bounded budget instead of silently polluting the estimate.
+        def _run_rep(rep: int) -> dict:
+            probes = [_probe()]
+            rates, legs = {}, []
             for cores in pair:
+                la0 = _loadavg()
                 run = _one_build(cores, rep)
-                rep_rates[cores] = run["docs_per_sec"]
-                if cores not in scaling_runs or run["build_sec"] < scaling_runs[cores]["build_sec"]:
+                la1 = _loadavg()
+                probes.append(_probe())
+                rates[cores] = run["docs_per_sec"]
+                legs.append({"cores": cores, "build_sec": run["build_sec"],
+                             "docs_per_sec": run["docs_per_sec"],
+                             "loadavg_before": la0, "loadavg_after": la1})
+                if cores not in scaling_runs or \
+                        run["build_sec"] < scaling_runs[cores]["build_sec"]:
                     scaling_runs[cores] = run
-            rep_ratios.append(round(rep_rates[pair[1]] / rep_rates[pair[0]] / 4, 3))
+            return {"rep": rep,
+                    "ratio": round(rates[pair[1]] / rates[pair[0]] / 4, 3),
+                    "probes_mb_per_sec": probes, "legs": legs}
+
+        scaling_runs: dict[int, dict] = {}
+        reps: list[dict] = []
+
+        def _classify() -> list[bool]:
+            # a rep is valid iff every probe around it sits within 15% of the
+            # session-median probe rate — i.e. its two legs ran under the
+            # same machine weather as the rest of the session
+            all_probes = [p for r in reps for p in r["probes_mb_per_sec"]]
+            med = statistics.median(all_probes)
+            return [all(abs(p - med) <= 0.15 * med
+                        for p in r["probes_mb_per_sec"]) for r in reps]
+
+        for rep in range(pair_reps):
+            reps.append(_run_rep(rep))
+        valid = _classify()
+        # re-run invalid reps (bad host weather) up to the budget: stop once
+        # the planned rep count is valid, or >=2 valid with the budget gone
+        while sum(valid) < pair_reps and len(reps) < max_reps:
+            reps.append(_run_rep(len(reps)))
+            valid = _classify()
+
         for cores in curve:
             scaling_runs[cores] = _one_build(cores, 0)
         for cores, run in scaling_runs.items():
             queries_sec[f"scaling_build_{cores}c"] = run["build_sec"]
+
+        rep_ratios = [r["ratio"] for r in reps]
+        valid_ratios = [r["ratio"] for r, ok in zip(reps, valid) if ok]
+        all_probes = [p for r in reps for p in r["probes_mb_per_sec"]]
+        probe_median = round(statistics.median(all_probes), 1)
         scaling_out = {
             "corpus_docs": scale_docs,
             "rates_docs_per_sec": {
                 str(c): scaling_runs[c]["docs_per_sec"] for c in scaling_runs
             },
             "pair_n_vs_4n": list(pair),
-            # headline = the BEST paired rep: each rep runs its two levels
-            # back-to-back (same machine weather), so a rep's ratio is a
-            # valid measurement and noise can only deflate it — min-of-best-
-            # rates ACROSS reps is not (a fast 1-core moment paired with a
-            # slow 4-core hour once deflated 0.964 paired reps to 0.795)
-            "efficiency": max(rep_ratios),
-            "pair_reps": pair_reps,
+            # headline = MEDIAN of the VALID paired reps (each rep's two legs
+            # run back-to-back under probe-verified identical host weather, so
+            # its ratio is one clean measurement; the median is robust to a
+            # residual outlier in either direction, unlike r4's max-of — load
+            # landing on a 1-core leg INFLATES that rep's ratio, so max-of is
+            # biased up)
+            "efficiency": round(statistics.median(valid_ratios), 3)
+            if len(valid_ratios) >= 2
+            else round(statistics.median(rep_ratios), 3),
+            "pair_reps": len(reps),
+            "valid_reps": int(sum(valid)),
             "per_rep_efficiency": rep_ratios,
+            "valid_rep_mask": valid,
+            "best_rep_efficiency": max(rep_ratios),
+            "host_telemetry": {
+                "probe_mb_per_sec_median": probe_median,
+                "probe_mb_per_sec_ref": _PROBE_REF_MB_S,
+                "probe_vs_ref": round(probe_median / _PROBE_REF_MB_S, 3),
+                "reps": reps,
+            },
             "note": "levels run CPU-pinned (taskset) so local[N] really is an "
                     "N-core machine; pair 1->4 sits below this host's DRAM knee "
                     "(~5.6 GB/s aggregate, BENCH.md), the faithful proxy for "
@@ -300,9 +396,21 @@ def main() -> None:
                     "bookkeeping — measured via Amdahl fit at 120k/480k "
                     "docs) is <5% of the 1-core run; at a real cluster's "
                     "hours-long builds that fraction vanishes entirely. "
-                    "Protocol: alternating paired reps, min-of per level. "
-                    "Full core curve reported for transparency.",
+                    "Protocol: alternating paired reps bracketed by fixed-work "
+                    "memcpy probes; reps with >15% probe deviation from the "
+                    "session median are invalid and re-run (bounded); "
+                    "headline = median of valid reps. Full core curve "
+                    "reported for transparency.",
         }
+        if len(valid_ratios) < 2:
+            # the budget ran out without two weather-stable reps: flag the
+            # artifact instead of publishing a silent sub-target number
+            scaling_out["scaling_invalid_host"] = True
+        if probe_median < 0.7 * _PROBE_REF_MB_S:
+            # self-consistent reps can still all be slow if the WHOLE phase
+            # ran on a degraded host (the r4 failure mode): the absolute
+            # calibration catches that case
+            scaling_out["scaling_degraded_host"] = True
         if 8 in scaling_runs and 32 in scaling_runs:
             scaling_out["efficiency_8_32"] = round(
                 scaling_runs[32]["docs_per_sec"] / scaling_runs[8]["docs_per_sec"] / 4, 3
@@ -320,5 +428,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--phase-build":
         phase_build(sys.argv[2:])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--phase-probe":
+        phase_probe()
     else:
         main()

@@ -252,12 +252,21 @@ def _bucket_bounds(meta: pd.DataFrame, term_ids: list[int], mode: str,
     """
     lows = _u(meta["min_doc"].to_numpy())
     highs = _u(meta["max_doc"].to_numpy())
-    qs = np.unique(np.quantile(lows, np.linspace(0, 1, n_buckets + 1)[1:-1]).astype(np.uint64))
+    # quantile edges in exact u64 index space — np.quantile would round-trip
+    # through float64, which cannot represent the top doc-id range (cast back
+    # to uint64 is UB there, found by hypothesis)
+    lo_sorted = np.sort(lows)
+    pick = np.linspace(0, len(lo_sorted) - 1,
+                       n_buckets + 1)[1:-1].round().astype(np.int64)
+    qs = np.unique(lo_sorted[pick])
     edges = np.concatenate([[np.uint64(0)], qs, [np.uint64(0xFFFFFFFFFFFFFFFF)]])
     nb = len(edges) - 1
-    # block b overlaps buckets [lo_idx, hi_idx]
-    lo_idx = np.searchsorted(edges, lows, side="right") - 1
-    hi_idx = np.searchsorted(edges, highs, side="right") - 1
+    # block b overlaps buckets [lo_idx, hi_idx]; the LAST bucket is inclusive
+    # of u64max (eval treats it so), hence the clip — without it a block
+    # whose range touches u64max lands past every bucket and its docs become
+    # unreachable (feasible stays False: a dropped AND result)
+    lo_idx = np.minimum(np.searchsorted(edges, lows, side="right") - 1, nb - 1)
+    hi_idx = np.minimum(np.searchsorted(edges, highs, side="right") - 1, nb - 1)
     tids = meta["term_id"].to_numpy(np.int64)
     ms = meta["max_score"].to_numpy(np.float64)
     ns = meta["n"].to_numpy(np.int64)

@@ -282,3 +282,23 @@ def test_lsh_hot_bucket_cap(spark):
 
     uncapped = lsh_candidate_pairs(docs, max_bucket=None).collect()
     assert len(uncapped) == 12 * 11 // 2 + 1
+
+
+def test_testdata_corpus_partition_independent(spark):
+    """The sf1 sweep corpus must be bit-identical under any partitioning
+    (token choice is a pure function of (seed, doc, pos)) and match the
+    driver documents schema exactly."""
+    from alexandria_spark.sources.bench_corpus import testdata_corpus
+    from alexandria_spark.sources.tables import documents
+
+    a = testdata_corpus(spark, 400, partitions=1).toPandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    b = testdata_corpus(spark, 400, partitions=13).toPandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    ref = documents(spark, "/root/testdata/sf0.001")
+    assert [f.name for f in ref.schema] == list(a.columns)
+    assert a["n_chars"].eq(a["text"].str.len()).all()
+    # near-dup structure: doc 51 differs from doc 50 only in its tail token
+    t50, t51 = a.loc[50, "text"].split(), a.loc[51, "text"].split()
+    assert t50[:-1] == t51[:-1] and t51[-1] == "dup"

@@ -101,9 +101,16 @@ def gc_doc_store(tombstones: DataFrame, name: str = "ax_doc_store",
 
 
 def load_doc_store(spark: SparkSession, name: str = "ax_doc_store") -> DataFrame:
-    # drop any stale file-listing cache first: streaming appends run in a
-    # cloned microbatch session whose cache invalidation does not propagate
-    # to this one (a metadata-only op, cheap relative to any query)
+    """Load the store AND pin it: ``refreshTable`` advances this session's
+    table-relation cache to the store's current file listing exactly once,
+    here — afterwards every scan in this session (candidate source join,
+    decoration) resolves through that cached listing until the next load.
+    Streaming appends land via a CLONED microbatch session whose cache
+    invalidation does not propagate to this one, so a serve composed of
+    several actions can never mix postings-snapshot candidates with a
+    newer store state mid-pipeline (the serving analogue of the impact
+    cold path's manifest pin, plans/impact.py _pinned_scan); re-calling
+    load_doc_store is the explicit act that advances the pin."""
     spark.catalog.refreshTable(name)
     return spark.table(name)
 

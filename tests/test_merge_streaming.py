@@ -325,3 +325,48 @@ def test_ingest_maintains_doc_store(spark, tmp_path):
         assert joined.collect()[0]["snippet"] == "fresh streamed doc"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_doc_store_serve_pinned_against_concurrent_append(spark, tmp_path):
+    """The doc-store pin contract (load_doc_store docstring): once loaded,
+    a serving session's store scans resolve through the session-cached file
+    listing — an append landing via a cloned microbatch session (exactly
+    how streaming ingest writes) must NOT surface mid-serve; re-loading is
+    the explicit act that advances the pin."""
+    import pyspark.sql.functions as F
+
+    from alexandria_spark.sources.docstore import (
+        append_doc_store,
+        decorate_from_store,
+        load_doc_store,
+        save_doc_store,
+    )
+
+    name = "ax_pin_test_store"
+    base = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("old text "), F.col("id")).alias("text"),
+    )
+    save_doc_store(base, name, buckets=4)
+    store = load_doc_store(spark, name)
+    assert store.count() == 30
+
+    # concurrent append through a cloned session (streaming's write path)
+    clone = spark.newSession()
+    extra = clone.range(30, 40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("new text "), F.col("id")).alias("text"),
+    )
+    append_doc_store(extra, name, buckets=4)
+    assert clone.table(name).count() == 40  # the writer session sees it
+
+    # ...but the serving session's pinned relation does not, across actions
+    assert store.count() == 30
+    results = spark.range(25, 35).select(
+        F.col("id").alias("doc_id"), F.lit(1.0).alias("score"))
+    served = decorate_from_store(results, store).collect()
+    got = {r.doc_id: r.snippet for r in served}
+    assert got[29] is not None and got[34] is None  # post-pin doc invisible
+
+    # explicit re-load advances the pin to the appended state
+    assert load_doc_store(spark, name).count() == 40

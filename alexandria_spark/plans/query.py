@@ -453,7 +453,10 @@ def choose_engine(query: str, mode: str, cfg: EngineConfig) -> str:
     """
     if mode == "phrase":
         return "bmw"
-    if len(_query_term_ids(query, mode, cfg)) <= 1:
+    tids = _query_term_ids(query, mode, cfg)
+    if not tids:
+        return "dist"  # vacuous query: serve empty without any derived layout
+    if len(tids) == 1:
         return "impact"
     return "docpart" if mode == "and" else "impact"
 

@@ -86,6 +86,10 @@ def gc_doc_store(tombstones: DataFrame, name: str = "ax_doc_store",
         spark.sql(f"ALTER TABLE {name}_old RENAME TO {name}")
     if not spark.catalog.tableExists(name):
         return False
+    # GC must see the store's TRUE current state, not this session's pinned
+    # listing (a streaming append since the last load would otherwise be
+    # dropped by the rewrite)
+    spark.catalog.refreshTable(name)
     kept = spark.table(name).join(tombstones.select("doc_id"), "doc_id", "left_anti")
     tmp = f"{name}_compacting"
     _drop_table_and_dir(spark, tmp)

@@ -310,3 +310,27 @@ def test_docpart_guard_rails(spark, idx, tmp_path):
     dp0 = build_docpart_index(spark, empty_docs, str(tmp_path / "dp0"), CFG,
                               text_col="text")
     assert search_docpart(spark, dp0, "merge", "and", 5).count() == 0
+
+
+def test_gc_doc_store_recovers_interrupted_swap(spark):
+    """gc_doc_store's rename swap is two metadata ops; a crash between them
+    leaves the data parked at {name}_old and no {name}. The next GC must
+    restore the parked table before proceeding, and still apply the GC."""
+    from alexandria_spark.sources.docstore import gc_doc_store, load_doc_store, save_doc_store
+
+    name = "ax_store_swap_crash"
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    )
+    save_doc_store(docs, name, buckets=4)
+    # simulate the crash window: old renamed away, new never landed
+    spark.sql(f"ALTER TABLE {name} RENAME TO {name}_old")
+    assert not spark.catalog.tableExists(name)
+
+    tombs = spark.range(10).select(F.col("id").alias("doc_id"))
+    assert gc_doc_store(tombs, name, buckets=4)
+    store = load_doc_store(spark, name)
+    assert store.count() == 90
+    assert not spark.catalog.tableExists(f"{name}_old")
+    assert not spark.catalog.tableExists(f"{name}_compacting")

@@ -2,6 +2,8 @@
 DuckDB oracle SQL — row count, schema (column names), and exact values —
 on the same parquet tables, like CORRECTNESS_r{N}.json will check."""
 
+import os
+
 import duckdb
 import numpy as np
 import pandas as pd
@@ -10,7 +12,9 @@ import pytest
 from alexandria_spark import suite
 from alexandria_spark.sources.tables import TESTDATA_TABLES
 
-SF = "/root/testdata/sf0.001"
+# default sf0.001 keeps CI fast; the pre-close driver-faithful sweep runs
+# the same file at the driver's own scale: AX_SUITE_SF=/root/testdata/sf0.01
+SF = os.environ.get("AX_SUITE_SF", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="module")

@@ -92,7 +92,16 @@ def compact(spark: SparkSession, index: Index,
         if doc_store is not None:
             from alexandria_spark.sources.docstore import gc_doc_store
 
-            gc_doc_store(dels, doc_store, doc_store_buckets)
+            if not gc_doc_store(dels, doc_store, doc_store_buckets):
+                # abort BEFORE the postings rewrite clears the tombstones:
+                # silently proceeding would orphan the deleted payloads with
+                # no surviving record of what to GC (retention violation)
+                raise ValueError(
+                    f"doc_store table {doc_store!r} found in neither the "
+                    f"catalog nor the warehouse — compact aborted with "
+                    f"tombstones retained; check the store name or run "
+                    f"compact without --doc-store"
+                )
     # rewrite term_doc first so future compactions/merges see the new truth;
     # old copy is parked at term_doc_old until the new one is in place, so a
     # crash mid-swap never destroys the only stage-1 source of truth.

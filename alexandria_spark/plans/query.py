@@ -259,6 +259,13 @@ def _bucket_bounds(meta: pd.DataFrame, term_ids: list[int], mode: str,
     pick = np.linspace(0, len(lo_sorted) - 1,
                        n_buckets + 1)[1:-1].round().astype(np.int64)
     qs = np.unique(lo_sorted[pick])
+    # edges must be STRICTLY increasing: a picked edge equal to an endpoint
+    # would create a zero-width or duplicate bucket, and eval's inclusive
+    # last-bucket / right-edge-minus-one rules would then make two buckets
+    # overlap (u64max edge) or one bucket wrap to the whole space (0-width
+    # [0,0) bucket: 0-1 underflows to u64max) — a doc evaluated in both
+    # phases would double its score
+    qs = qs[(qs != np.uint64(0)) & (qs != np.uint64(0xFFFFFFFFFFFFFFFF))]
     edges = np.concatenate([[np.uint64(0)], qs, [np.uint64(0xFFFFFFFFFFFFFFFF)]])
     nb = len(edges) - 1
     # block b overlaps buckets [lo_idx, hi_idx]; the LAST bucket is inclusive

@@ -8,30 +8,96 @@ shuffle on the store side (the bucketing pre-co-locates keys), which is
 the difference between joining a 100 TB doc store every query and reading
 only the matching buckets.
 
-Requires saveAsTable (bucket metadata lives in the catalog); the local
-warehouse works out of the box in tests.
+Bucket metadata lives in the catalog (saveAsTable). The sandbox's default
+in-memory catalog forgets tables across sessions while the warehouse
+directory persists, so every entry point re-ADOPTS an orphaned store
+directory (``_ensure_registered``): a production deployment would use a
+persistent metastore and never hit that branch, but the CLI maintenance
+ops (compact --doc-store, serving from a fresh spark-submit) must work
+either way. A ``_ax_store_meta.json`` marker inside the table directory
+records the bucket count for adoption.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+_META_FILE = "_ax_store_meta.json"  # "_"-prefixed: invisible to readers
 
-def _drop_table_and_dir(spark: SparkSession, name: str) -> None:
-    """Drop a table including a dangling warehouse location left by a
-    previous session (the default in-memory catalog forgets tables, the
-    warehouse directory does not)."""
-    import os
-    import shutil
 
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
+def _warehouse_dir(spark: SparkSession, name: str) -> str:
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     for prefix in ("file://", "file:"):
         if wh.startswith(prefix):
             wh = wh[len(prefix):]
             break
-    shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+    return os.path.join(wh, name)
+
+
+def _drop_table_and_dir(spark: SparkSession, name: str) -> None:
+    """Drop a table including a dangling warehouse location left by a
+    previous session."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(_warehouse_dir(spark, name), ignore_errors=True)
+
+
+def _write_meta(spark: SparkSession, name: str, buckets: int) -> None:
+    with open(os.path.join(_warehouse_dir(spark, name), _META_FILE), "w") as fh:
+        json.dump({"buckets": buckets}, fh)
+
+
+def _has_data(d: str) -> bool:
+    return os.path.isdir(d) and any(
+        f.endswith(".parquet") or f.startswith("part-") for f in os.listdir(d)
+    )
+
+
+def _ensure_registered(spark: SparkSession, name: str,
+                       buckets: int | None = None) -> bool:
+    """Make ``name`` resolvable in THIS session's catalog, adopting an
+    orphaned warehouse directory if the catalog forgot the table (fresh
+    session over an in-memory catalog, or a crash that left the data parked
+    at ``{name}_old`` mid-swap). Adoption is one bucketed rewrite — the
+    only way to re-attach managed bucket metadata without a persistent
+    metastore — so it is a recovery path, not a hot path. Returns False
+    when no table and no orphaned data exist anywhere."""
+    if spark.catalog.tableExists(name):
+        return True
+    # in-catalog crash recovery first: the old table still registered
+    if spark.catalog.tableExists(f"{name}_old"):
+        spark.sql(f"ALTER TABLE {name}_old RENAME TO {name}")
+        return True
+    # directory-level adoption: catalog is empty but the warehouse is not
+    for cand in (name, f"{name}_old"):
+        d = _warehouse_dir(spark, cand)
+        if not _has_data(d):
+            continue
+        n_buckets = buckets
+        meta_p = os.path.join(d, _META_FILE)
+        if n_buckets is None:
+            try:
+                with open(meta_p) as fh:
+                    n_buckets = int(json.load(fh)["buckets"])
+            except (OSError, ValueError, KeyError):
+                n_buckets = 32
+        df = spark.read.parquet(d)
+        tmp = f"{name}_adopting"
+        _drop_table_and_dir(spark, tmp)
+        (
+            df.write.bucketBy(n_buckets, "doc_id").sortBy("doc_id")
+            .mode("overwrite").format("parquet").saveAsTable(tmp)
+        )  # fully materialized BEFORE the orphan dirs are removed
+        shutil.rmtree(_warehouse_dir(spark, name), ignore_errors=True)
+        shutil.rmtree(_warehouse_dir(spark, f"{name}_old"), ignore_errors=True)
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
+        _write_meta(spark, name, n_buckets)
+        return True
+    return False
 
 
 def save_doc_store(docs: DataFrame, name: str = "ax_doc_store",
@@ -43,6 +109,7 @@ def save_doc_store(docs: DataFrame, name: str = "ax_doc_store",
         docs.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
         .mode("overwrite").format("parquet").saveAsTable(name)
     )
+    _write_meta(spark, name, buckets)
 
 
 def append_doc_store(docs: DataFrame, name: str = "ax_doc_store",
@@ -54,7 +121,7 @@ def append_doc_store(docs: DataFrame, name: str = "ax_doc_store",
     Exactly-once to the same degree as the postings append: the stream's
     checkpoint prevents re-ingesting a finished batch."""
     spark = docs.sparkSession
-    if not spark.catalog.tableExists(name):
+    if not _ensure_registered(spark, name, buckets):
         save_doc_store(docs, name, buckets)
         return
     (
@@ -75,16 +142,18 @@ def gc_doc_store(tombstones: DataFrame, name: str = "ax_doc_store",
 
     One distributed anti-join rewrite into a fresh table with the SAME
     bucket spec (so the shuffle-free decoration plan is preserved), then a
-    catalog-level rename swap. The swap is two metadata ops — a crash
-    between them leaves the data parked at ``{name}_old`` (recovered by the
-    next GC), never deleted-but-unreplaced. Returns False if the store
-    table does not exist (nothing to do)."""
+    catalog-level rename swap. A crash between the two renames leaves the
+    data parked at ``{name}_old`` (recovered by the next entry point, same
+    or new session), never deleted-but-unreplaced. Returns False if the
+    store exists in neither the catalog nor the warehouse.
+
+    Retention beats reader grace here BY DESIGN: the old files (which still
+    hold the tombstoned bytes) are dropped immediately, so a session pinned
+    to the pre-GC listing fails fast on its next action and must re-load —
+    the same maintenance-window semantics as the reference's hash_table
+    remove. Run GC when the paired index compacts, not mid-serve."""
     spark = tombstones.sparkSession
-    # recover a crash between the two renames of a previous GC: the new
-    # table never landed, the old one holds the only copy — restore it
-    if not spark.catalog.tableExists(name) and spark.catalog.tableExists(f"{name}_old"):
-        spark.sql(f"ALTER TABLE {name}_old RENAME TO {name}")
-    if not spark.catalog.tableExists(name):
+    if not _ensure_registered(spark, name, buckets):
         return False
     # GC must see the store's TRUE current state, not this session's pinned
     # listing (a streaming append since the last load would otherwise be
@@ -101,6 +170,7 @@ def gc_doc_store(tombstones: DataFrame, name: str = "ax_doc_store",
     spark.sql(f"ALTER TABLE {name} RENAME TO {name}_old")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
     spark.sql(f"DROP TABLE {name}_old")
+    _write_meta(spark, name, buckets)
     return True
 
 
@@ -114,7 +184,10 @@ def load_doc_store(spark: SparkSession, name: str = "ax_doc_store") -> DataFrame
     several actions can never mix postings-snapshot candidates with a
     newer store state mid-pipeline (the serving analogue of the impact
     cold path's manifest pin, plans/impact.py _pinned_scan); re-calling
-    load_doc_store is the explicit act that advances the pin."""
+    load_doc_store is the explicit act that advances the pin. In a fresh
+    session over the in-memory catalog, an orphaned warehouse store is
+    re-adopted first (module docstring)."""
+    _ensure_registered(spark, name)
     spark.catalog.refreshTable(name)
     return spark.table(name)
 

@@ -122,8 +122,7 @@ def phase_probe() -> None:
 
 def _loadavg() -> list[float]:
     try:
-        with open("/proc/loadavg") as f:
-            return [float(x) for x in f.read().split()[:3]]
+        return [round(x, 2) for x in os.getloadavg()]
     except OSError:
         return []
 
@@ -407,10 +406,12 @@ def main() -> None:
             # its ratio is one clean measurement; the median is robust to a
             # residual outlier in either direction, unlike r4's max-of — load
             # landing on a 1-core leg INFLATES that rep's ratio, so max-of is
-            # biased up)
+            # biased up). Whenever ANY probe-clean rep exists it sets the
+            # number — known-bad reps never outvote a clean one; only with
+            # zero clean reps does the all-reps median stand in (and the
+            # invalid-host flag below marks both fallbacks)
             "efficiency": round(statistics.median(valid_ratios), 3)
-            if len(valid_ratios) >= 2
-            else round(statistics.median(rep_ratios), 3),
+            if valid_ratios else round(statistics.median(rep_ratios), 3),
         }
         if len(valid_ratios) < 2:
             # the budget ran out without two weather-stable reps: flag the

@@ -64,8 +64,16 @@ def main():
             hits = impact_or_topk(spark, idx, args.query, args.k)
         else:
             # auto routes single-term AND queries here (a 1-term AND is a
-            # 1-term OR); explicit --engine impact keeps the same contract
-            hits = impact_single_topk(spark, idx, args.query, args.k)
+            # 1-term OR); an explicit multi-term AND gets the actionable
+            # rejection, not impact_single_topk's raw ValueError traceback
+            try:
+                hits = impact_single_topk(spark, idx, args.query, args.k)
+            except ValueError as exc:
+                raise SystemExit(
+                    f"--engine impact serves or/single-term queries "
+                    f"({exc}); use --engine auto|docpart|dist for "
+                    f"multi-term AND"
+                ) from exc
     else:
         hits = [(r.doc_id, r.score) for r in
                 search(spark, idx, args.query, args.mode, args.k).collect()]

@@ -290,10 +290,16 @@ def test_ingest_maintains_doc_store(spark, tmp_path):
     bucketed store so composed serving can decorate freshly ingested docs —
     and the append must preserve the bucket spec (store-side join stays
     shuffle-free)."""
-    from alexandria_spark.sources.docstore import decorate_from_store, load_doc_store
+    from alexandria_spark.sources.docstore import (
+        _drop_table_and_dir,
+        decorate_from_store,
+        load_doc_store,
+    )
 
     name = "ax_store_stream_test"
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # the warehouse DIR is the durable truth (adoption re-attaches orphans),
+    # so test cleanup must remove it too, not just the catalog entry
+    _drop_table_and_dir(spark, name)
     docs = _corpus(spark, 13, 30, 0).select(
         "doc_id", F.col("content").alias("text")
     )

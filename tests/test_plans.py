@@ -334,3 +334,96 @@ def test_gc_doc_store_recovers_interrupted_swap(spark):
     assert store.count() == 90
     assert not spark.catalog.tableExists(f"{name}_old")
     assert not spark.catalog.tableExists(f"{name}_compacting")
+
+
+def _orphan_store(spark, name, as_name=None):
+    """Simulate a fresh session over the in-memory catalog: the catalog
+    forgets the table while its warehouse directory survives (optionally
+    parked under another name, as a crashed swap leaves it)."""
+    import os
+    import shutil
+
+    from alexandria_spark.sources.docstore import _warehouse_dir
+
+    d = _warehouse_dir(spark, name)
+    aside = d + "_aside"
+    shutil.move(d, aside)
+    spark.sql(f"DROP TABLE {name}")  # location already moved; drops metadata
+    target = _warehouse_dir(spark, as_name or name)
+    if os.path.exists(target):
+        shutil.rmtree(target)
+    shutil.move(aside, target)
+
+
+def test_doc_store_adoption_after_catalog_amnesia(spark):
+    """A fresh session's in-memory catalog knows nothing of the store; the
+    warehouse directory is the durable truth. load_doc_store must re-adopt
+    it (bucketed, via the recorded _ax_store_meta.json) and decoration must
+    stay store-side-shuffle-free."""
+    from alexandria_spark.sources.docstore import (
+        decorate_from_store,
+        load_doc_store,
+        save_doc_store,
+    )
+
+    name = "ax_store_amnesia"
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    )
+    save_doc_store(docs, name, buckets=8)
+    _orphan_store(spark, name)
+    assert not spark.catalog.tableExists(name)
+
+    store = load_doc_store(spark, name)  # adopts
+    assert store.count() == 200
+    results = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit(1.0).alias("score"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = decorate_from_store(results, store)
+        assert joined.count() == 10
+        assert _plan(joined).count("Exchange") == 1  # bucket spec re-attached
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_gc_doc_store_adopts_cross_session_crash_remnant(spark):
+    """A GC crash between the two renames in a PREVIOUS session leaves the
+    only copy parked at warehouse/{name}_old with an empty catalog. The
+    next GC (new session) must adopt it and still apply the tombstones."""
+    from alexandria_spark.sources.docstore import gc_doc_store, load_doc_store, save_doc_store
+
+    name = "ax_store_crash_xsession"
+    docs = spark.range(80).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    )
+    save_doc_store(docs, name, buckets=4)
+    _orphan_store(spark, name, as_name=f"{name}_old")
+    assert not spark.catalog.tableExists(name)
+
+    tombs = spark.range(5).select(F.col("id").alias("doc_id"))
+    assert gc_doc_store(tombs, name, buckets=4)
+    store = load_doc_store(spark, name)
+    assert store.count() == 75
+    assert store.where(F.col("doc_id") < 5).count() == 0
+
+
+def test_compact_aborts_when_doc_store_missing(spark, tmp_path):
+    """compact(doc_store=...) with a name that exists nowhere must raise
+    BEFORE clearing the tombstones — silently proceeding would orphan the
+    deleted payloads with no record of what to GC."""
+    import os
+
+    from alexandria_spark.plans.build import build_index, with_doc_ids
+    from alexandria_spark.plans.delete import compact, delete_docs, deletes_path
+    from alexandria_spark.sources.tables import synth_corpus
+
+    docs = with_doc_ids(synth_corpus(spark, 30, seed=5))
+    idx = build_index(spark, docs, str(tmp_path / "idx"), CFG, text_col="content")
+    delete_docs(spark, idx, [docs.first().doc_id])
+    with pytest.raises(ValueError, match="tombstones retained"):
+        compact(spark, idx, CFG, doc_store="ax_no_such_store_anywhere")
+    assert os.path.exists(deletes_path(idx))  # tombstones survived the abort

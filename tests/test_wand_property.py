@@ -143,6 +143,9 @@ def test_bucket_bounds_dominate_true_scores(postings, block_size, mode,
                    ].reset_index(drop=True)
     meta = build_blocks(pdf, block_size)
     edges, ub, docs_est, feasible = _bucket_bounds(meta, tids, mode, n_buckets)
+    # edges strictly increasing: equal/zero-width edges would let eval's
+    # inclusive-bucket rules assign one doc to two buckets (double-scoring)
+    assert (np.diff(edges.astype(np.uint64)) > 0).all(), edges
     exp_d, exp_s = _brute(postings, tids, mode)
     # the last bucket is inclusive of u64max (mirrors _eval_buckets)
     bucket = np.minimum(np.searchsorted(edges, exp_d, side="right") - 1,

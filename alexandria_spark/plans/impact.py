@@ -210,6 +210,81 @@ def _impact_meta(spark: SparkSession, index: Index, tid: int,
     return meta.sort_values("max_score", ascending=False).reset_index(drop=True)
 
 
+def _impact_meta_multi(spark: SparkSession, index: Index, tids: list[int],
+                       num_shards: int, _blocks=None) -> dict[int, pd.DataFrame | None]:
+    """All query terms' impact metadata in ONE job (per-term scans cost a
+    scheduler round-trip each — on a warm engine that round-trip IS the
+    query cost). Guard semantics match the per-term fetch exactly: the
+    collective limit is n_terms x guard + 1, so exceeding it implies (by
+    pigeonhole) at least one term alone exceeds the per-term guard; under
+    it, any individual term over the guard is marked None, same as before."""
+    from alexandria_spark.plans.query import _META_GUARD_ROWS
+
+    shards = sorted({_shard_of(t, num_shards) for t in tids})
+    path = os.path.join(index.path, "postings_impact")
+    src = _blocks if _blocks is not None else spark.read.parquet(path)
+    cap = len(tids) * _META_GUARD_ROWS + 1
+    pdf = (
+        src.where(F.col("shard").isin(shards) & F.col("term_id").isin(list(tids)))
+        .select("term_id", "salt", "block_id", "n", "max_score")
+        .limit(cap)
+        .toPandas()
+    )
+    if len(pdf) >= cap:
+        return {t: None for t in tids}
+    out: dict[int, pd.DataFrame | None] = {}
+    for t in tids:
+        m = pdf[pdf["term_id"] == t]
+        out[t] = (
+            None if len(m) > _META_GUARD_ROWS
+            else m.drop(columns=["term_id"])
+            .sort_values("max_score", ascending=False).reset_index(drop=True)
+        )
+    return out
+
+
+def _prefetch_first_batches(src, readers: dict[int, "_ImpactBlockReader"],
+                            metas: dict[int, pd.DataFrame], k: int) -> None:
+    """Seed every reader's first payload batch in ONE job (instead of one
+    first-fetch job per term): per term, the smallest impact-order prefix
+    that can hold k postings — the same sizing impact_single_topk uses.
+    Later misses fall back to the reader's own doubling fetches; pure IO
+    batching, results unchanged."""
+    conds, firsts = [], {}
+    for t, rd in readers.items():
+        m = metas[t]
+        cum = m["n"].to_numpy(np.int64).cumsum()
+        first = min(int(np.searchsorted(cum, k) + 1), len(m))
+        firsts[t] = first
+        sel = m.iloc[0:first]
+        keys = (
+            sel["salt"].astype("int64") * (1 << 31) + sel["block_id"].astype("int64")
+        ).tolist()
+        conds.append(
+            (F.col("term_id") == t) & (F.col("shard") == rd.shard)
+            & ((F.col("salt").cast("long") * (1 << 31)
+                + F.col("block_id").cast("long")).isin(keys))
+        )
+    if not conds:
+        return
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond | c
+    pdf = src.where(cond).toPandas()
+    for t, rd in readers.items():
+        mine = pdf[pdf["term_id"] == t]
+        by_key = {
+            int(r["salt"]) * (1 << 31) + int(r["block_id"]): r
+            for _, r in mine.iterrows()
+        }
+        sel = metas[t].iloc[0:firsts[t]]
+        for ofs, (_, row) in enumerate(sel.iterrows()):
+            key = int(row["salt"]) * (1 << 31) + int(row["block_id"])
+            rd.rows[ofs] = by_key[key]
+        rd.fetched_blocks += firsts[t]
+        rd.batch = max(rd.batch, firsts[t])
+
+
 class _ImpactBlockReader:
     """On-demand payload fetch for one term's impact blocks.
 
@@ -425,8 +500,7 @@ def impact_or_topk(spark: SparkSession, index: Index, query: str,
         _blocks = _pinned_scan(spark, index, "postings_impact")
     if _doc_blocks is None:  # same for the phase-2 completion table
         _doc_blocks = _pinned_scan(spark, index, "postings")
-    metas = {t: _impact_meta(spark, index, t, cfg.num_shards, _blocks)
-             for t in term_ids}
+    metas = _impact_meta_multi(spark, index, term_ids, cfg.num_shards, _blocks)
     if any(m is None for m in metas.values()):
         # a hot term tripped the metadata guard: the driver-orchestrated
         # impact walk would hold its block list — serve the whole query
@@ -439,6 +513,10 @@ def impact_or_topk(spark: SparkSession, index: Index, query: str,
                               first_batch=2, _blocks=_blocks)
         for t, m in metas.items() if len(m)
     }
+    # one combined job seeds every term's first payload batch — with per-term
+    # lazy fetches, a warm 3-term OR paid 3 scheduler round-trips before
+    # reading a single posting
+    _prefetch_first_batches(_blocks, readers, metas, k)
     ptr = {t: 0 for t in readers}
     # per-term decoded prefixes as array chunks — phase 1 stays fully
     # vectorized (no per-posting Python): partial sums come from one

@@ -183,31 +183,23 @@ def _pinned_scan(spark: SparkSession, index: Index, table: str):
         return spark.read.parquet(os.path.join(index.path, table))
 
 
+def _block_key_pd(pdf: pd.DataFrame) -> pd.Series:
+    """Composite (salt, block_id) key — salts/block_ids are int32-nonneg."""
+    return pdf["salt"].astype("int64") * (1 << 31) + pdf["block_id"].astype("int64")
+
+
+def _block_key_col():
+    """The Spark-side expression of the same composite key."""
+    return F.col("salt").cast("long") * (1 << 31) + F.col("block_id").cast("long")
+
+
 def _impact_meta(spark: SparkSession, index: Index, tid: int,
                  num_shards: int, _blocks=None) -> pd.DataFrame | None:
-    """Metadata-only scan of a term's impact blocks, sorted by descending
-    block max (the merged impact order across salts). Column pruning keeps
-    the payload byte columns out of the parquet read entirely.
-    ``_blocks`` substitutes ImpactEngine's cached scan.
-
-    Guarded like every other driver metadata fetch: a term whose block
-    metadata exceeds the guard returns None, and the caller serves through
-    the fully distributed doc-sorted path instead of shipping a 100-TB hot
-    term's block list to the driver."""
-    from alexandria_spark.plans.query import _META_GUARD_ROWS
-
-    shard = _shard_of(tid, num_shards)
-    path = os.path.join(index.path, "postings_impact")
-    src = _blocks if _blocks is not None else spark.read.parquet(path)
-    meta = (
-        src.where((F.col("shard") == shard) & (F.col("term_id") == tid))
-        .select("salt", "block_id", "n", "max_score")
-        .limit(_META_GUARD_ROWS + 1)
-        .toPandas()
-    )
-    if len(meta) > _META_GUARD_ROWS:
-        return None
-    return meta.sort_values("max_score", ascending=False).reset_index(drop=True)
+    """Metadata-only scan of ONE term's impact blocks, sorted by descending
+    block max (the merged impact order across salts) — the single-term face
+    of ``_impact_meta_multi`` so the guard/sort contract lives in exactly
+    one place. None when the term trips the driver metadata guard."""
+    return _impact_meta_multi(spark, index, [tid], num_shards, _blocks)[tid]
 
 
 def _impact_meta_multi(spark: SparkSession, index: Index, tids: list[int],
@@ -257,13 +249,9 @@ def _prefetch_first_batches(src, readers: dict[int, "_ImpactBlockReader"],
         first = min(int(np.searchsorted(cum, k) + 1), len(m))
         firsts[t] = first
         sel = m.iloc[0:first]
-        keys = (
-            sel["salt"].astype("int64") * (1 << 31) + sel["block_id"].astype("int64")
-        ).tolist()
         conds.append(
             (F.col("term_id") == t) & (F.col("shard") == rd.shard)
-            & ((F.col("salt").cast("long") * (1 << 31)
-                + F.col("block_id").cast("long")).isin(keys))
+            & _block_key_col().isin(_block_key_pd(sel).tolist())
         )
     if not conds:
         return
@@ -273,13 +261,8 @@ def _prefetch_first_batches(src, readers: dict[int, "_ImpactBlockReader"],
     pdf = src.where(cond).toPandas()
     for t, rd in readers.items():
         mine = pdf[pdf["term_id"] == t]
-        by_key = {
-            int(r["salt"]) * (1 << 31) + int(r["block_id"]): r
-            for _, r in mine.iterrows()
-        }
-        sel = metas[t].iloc[0:firsts[t]]
-        for ofs, (_, row) in enumerate(sel.iterrows()):
-            key = int(row["salt"]) * (1 << 31) + int(row["block_id"])
+        by_key = dict(zip(_block_key_pd(mine), (r for _, r in mine.iterrows())))
+        for ofs, key in enumerate(_block_key_pd(metas[t].iloc[0:firsts[t]])):
             rd.rows[ofs] = by_key[key]
         rd.fetched_blocks += firsts[t]
         rd.batch = max(rd.batch, firsts[t])
@@ -317,24 +300,15 @@ class _ImpactBlockReader:
 
     def _fetch(self, lo: int, hi: int) -> None:
         sel = self.meta.iloc[lo:hi]
-        # one composite key per block; salts/block_ids are int32-nonnegative
-        keys = (
-            sel["salt"].astype("int64") * (1 << 31) + sel["block_id"].astype("int64")
-        ).tolist()
+        keys = _block_key_pd(sel).tolist()
         src = (self._blocks if self._blocks is not None
                else self.spark.read.parquet(self.path))
         pdf = (
             src.where((F.col("shard") == self.shard) & (F.col("term_id") == self.tid))
-            .where(
-                (F.col("salt").cast("long") * (1 << 31)
-                 + F.col("block_id").cast("long")).isin(keys)
-            )
+            .where(_block_key_col().isin(keys))
             .toPandas()
         )
-        by_key = {
-            int(r["salt"]) * (1 << 31) + int(r["block_id"]): r
-            for _, r in pdf.iterrows()
-        }
+        by_key = dict(zip(_block_key_pd(pdf), (r for _, r in pdf.iterrows())))
         for ofs, key in enumerate(keys):
             self.rows[lo + ofs] = by_key[key]
         self.fetched_blocks += len(keys)

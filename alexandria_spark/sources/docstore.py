@@ -51,10 +51,53 @@ def _write_meta(spark: SparkSession, name: str, buckets: int) -> None:
         json.dump({"buckets": buckets}, fh)
 
 
-def _has_data(d: str) -> bool:
-    return os.path.isdir(d) and any(
-        f.endswith(".parquet") or f.startswith("part-") for f in os.listdir(d)
+def _has_complete_data(d: str) -> bool:
+    """A directory holds an adoptable store copy only when the write that
+    produced it COMMITTED (_SUCCESS marker) — a crash mid-write leaves
+    parquet parts that must never be adopted as the store's truth."""
+    return (
+        os.path.isdir(d)
+        and os.path.exists(os.path.join(d, "_SUCCESS"))
+        and any(f.endswith(".parquet") or f.startswith("part-")
+                for f in os.listdir(d))
     )
+
+
+def _orphan_source_dir(spark: SparkSession, name: str) -> str | None:
+    """The directory holding the store's durable truth when the catalog
+    forgot the table, in trust order: the live dir, a swap's parked old
+    copy, a crashed adoption's or GC's completed output (the
+    rmtree-before-rename window — without those candidates such a crash
+    would strand the only copy). Returns None when nothing complete
+    exists anywhere."""
+    for cand in (name, f"{name}_old", f"{name}_adopting", f"{name}_compacting"):
+        d = _warehouse_dir(spark, cand)
+        if _has_complete_data(d):
+            return d
+    return None
+
+
+def _normalize_orphan(spark: SparkSession, name: str) -> str | None:
+    """Move whatever complete orphan copy exists into the live directory
+    (warehouse/{name}) and return that path — the single source every
+    recovery path reads from. A partial (uncommitted) live dir is cleared
+    first; returns None when no complete copy exists anywhere."""
+    src_dir = _orphan_source_dir(spark, name)
+    if src_dir is None:
+        return None
+    live = _warehouse_dir(spark, name)
+    if src_dir != live:
+        shutil.rmtree(live, ignore_errors=True)
+        shutil.move(src_dir, live)
+    return live
+
+
+def _read_buckets_meta(d: str, fallback: int | None) -> int:
+    try:
+        with open(os.path.join(d, _META_FILE)) as fh:
+            return int(json.load(fh)["buckets"])
+    except (OSError, ValueError, KeyError):
+        return 32 if fallback is None else fallback
 
 
 def _ensure_registered(spark: SparkSession, name: str,
@@ -62,42 +105,40 @@ def _ensure_registered(spark: SparkSession, name: str,
     """Make ``name`` resolvable in THIS session's catalog, adopting an
     orphaned warehouse directory if the catalog forgot the table (fresh
     session over an in-memory catalog, or a crash that left the data parked
-    at ``{name}_old`` mid-swap). Adoption is one bucketed rewrite — the
-    only way to re-attach managed bucket metadata without a persistent
-    metastore — so it is a recovery path, not a hot path. Returns False
-    when no table and no orphaned data exist anywhere."""
+    at ``{name}_old`` / ``{name}_adopting`` mid-swap). Adoption is one
+    bucketed rewrite — the only way to re-attach managed bucket metadata
+    without a persistent metastore — so it is a recovery path, not a hot
+    path. Returns False when no table and no orphaned data exist."""
     if spark.catalog.tableExists(name):
         return True
     # in-catalog crash recovery first: the old table still registered
     if spark.catalog.tableExists(f"{name}_old"):
         spark.sql(f"ALTER TABLE {name}_old RENAME TO {name}")
         return True
-    # directory-level adoption: catalog is empty but the warehouse is not
-    for cand in (name, f"{name}_old"):
-        d = _warehouse_dir(spark, cand)
-        if not _has_data(d):
-            continue
-        n_buckets = buckets
-        meta_p = os.path.join(d, _META_FILE)
-        if n_buckets is None:
-            try:
-                with open(meta_p) as fh:
-                    n_buckets = int(json.load(fh)["buckets"])
-            except (OSError, ValueError, KeyError):
-                n_buckets = 32
-        df = spark.read.parquet(d)
-        tmp = f"{name}_adopting"
-        _drop_table_and_dir(spark, tmp)
-        (
-            df.write.bucketBy(n_buckets, "doc_id").sortBy("doc_id")
-            .mode("overwrite").format("parquet").saveAsTable(tmp)
-        )  # fully materialized BEFORE the orphan dirs are removed
-        shutil.rmtree(_warehouse_dir(spark, name), ignore_errors=True)
-        shutil.rmtree(_warehouse_dir(spark, f"{name}_old"), ignore_errors=True)
-        spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
-        _write_meta(spark, name, n_buckets)
-        return True
-    return False
+    src_dir = _normalize_orphan(spark, name)
+    if src_dir is None:
+        return False
+    n_buckets = buckets if buckets is not None else _read_buckets_meta(src_dir, None)
+    df = spark.read.parquet(src_dir)
+    tmp = f"{name}_adopting"
+    _drop_table_and_dir(spark, tmp)
+    (
+        df.write.bucketBy(n_buckets, "doc_id").sortBy("doc_id")
+        .mode("overwrite").format("parquet").saveAsTable(tmp)
+    )  # fully materialized BEFORE the orphan dirs are removed
+    shutil.rmtree(src_dir, ignore_errors=True)
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
+    _write_meta(spark, name, n_buckets)
+    return True
+
+
+def drop_doc_store(spark: SparkSession, name: str = "ax_doc_store") -> None:
+    """Remove the store COMPLETELY: the table, its live directory, and
+    every recovery remnant adoption would otherwise resurrect (`_old`,
+    `_adopting`, `_compacting`). The cleanup tests and teardown paths must
+    use — a bare DROP TABLE leaves the durable directory truth behind."""
+    for cand in (name, f"{name}_old", f"{name}_adopting", f"{name}_compacting"):
+        _drop_table_and_dir(spark, cand)
 
 
 def save_doc_store(docs: DataFrame, name: str = "ax_doc_store",
@@ -153,13 +194,27 @@ def gc_doc_store(tombstones: DataFrame, name: str = "ax_doc_store",
     the same maintenance-window semantics as the reference's hash_table
     remove. Run GC when the paired index compacts, not mid-serve."""
     spark = tombstones.sparkSession
-    if not _ensure_registered(spark, name, buckets):
-        return False
-    # GC must see the store's TRUE current state, not this session's pinned
-    # listing (a streaming append since the last load would otherwise be
-    # dropped by the rewrite)
-    spark.catalog.refreshTable(name)
-    kept = spark.table(name).join(tombstones.select("doc_id"), "doc_id", "left_anti")
+    registered = spark.catalog.tableExists(name)
+    if not registered and spark.catalog.tableExists(f"{name}_old"):
+        # in-catalog crash recovery: the parked old table is the truth
+        spark.sql(f"ALTER TABLE {name}_old RENAME TO {name}")
+        registered = True
+    if registered:
+        # GC must see the store's TRUE current state, not this session's
+        # pinned listing (a streaming append since the last load would
+        # otherwise be dropped by the rewrite)
+        spark.catalog.refreshTable(name)
+        src = spark.table(name)
+    else:
+        # catalog amnesia: read the orphaned directory DIRECTLY as the
+        # rewrite source — the input's bucketing is irrelevant to the
+        # rewrite, so no adoption pre-pass (which would rewrite the whole
+        # store a second time just to re-attach catalog metadata)
+        src_dir = _normalize_orphan(spark, name)
+        if src_dir is None:
+            return False
+        src = spark.read.parquet(src_dir)
+    kept = src.join(tombstones.select("doc_id"), "doc_id", "left_anti")
     tmp = f"{name}_compacting"
     _drop_table_and_dir(spark, tmp)
     (
@@ -167,9 +222,13 @@ def gc_doc_store(tombstones: DataFrame, name: str = "ax_doc_store",
         .mode("overwrite").format("parquet").saveAsTable(tmp)
     )
     _drop_table_and_dir(spark, f"{name}_old")
-    spark.sql(f"ALTER TABLE {name} RENAME TO {name}_old")
-    spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
-    spark.sql(f"DROP TABLE {name}_old")
+    if registered:
+        spark.sql(f"ALTER TABLE {name} RENAME TO {name}_old")
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
+        spark.sql(f"DROP TABLE {name}_old")
+    else:
+        shutil.rmtree(_warehouse_dir(spark, name), ignore_errors=True)
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
     _write_meta(spark, name, buckets)
     return True
 

@@ -76,11 +76,11 @@ def test_full_maintenance_lifecycle(spark, tmp_path):
     in_dir = str(tmp_path / "incoming")
     idx_path = str(tmp_path / "idx")
     store = "ax_lifecycle_store"
-    from alexandria_spark.sources.docstore import _drop_table_and_dir
+    from alexandria_spark.sources.docstore import drop_doc_store
 
-    # dir-level cleanup: adoption would otherwise resurrect a previous
-    # run's orphaned store into this run's counts
-    _drop_table_and_dir(spark, store)
+    # full cleanup incl. recovery remnants: adoption would otherwise
+    # resurrect a previous run's orphaned store into this run's counts
+    drop_doc_store(spark, store)
 
     # 1. stream in the initial corpus, full refresh, derive both layouts
     a = _corpus(spark, 41, 60, 0)

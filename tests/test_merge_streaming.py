@@ -291,15 +291,15 @@ def test_ingest_maintains_doc_store(spark, tmp_path):
     and the append must preserve the bucket spec (store-side join stays
     shuffle-free)."""
     from alexandria_spark.sources.docstore import (
-        _drop_table_and_dir,
         decorate_from_store,
+        drop_doc_store,
         load_doc_store,
     )
 
     name = "ax_store_stream_test"
-    # the warehouse DIR is the durable truth (adoption re-attaches orphans),
-    # so test cleanup must remove it too, not just the catalog entry
-    _drop_table_and_dir(spark, name)
+    # the warehouse DIR (incl. recovery remnants) is the durable truth, so
+    # test cleanup must remove it all, not just the catalog entry
+    drop_doc_store(spark, name)
     docs = _corpus(spark, 13, 30, 0).select(
         "doc_id", F.col("content").alias("text")
     )

@@ -427,3 +427,37 @@ def test_compact_aborts_when_doc_store_missing(spark, tmp_path):
     with pytest.raises(ValueError, match="tombstones retained"):
         compact(spark, idx, CFG, doc_store="ax_no_such_store_anywhere")
     assert os.path.exists(deletes_path(idx))  # tombstones survived the abort
+
+
+def test_adoption_crash_leaves_no_stranded_copy(spark):
+    """A crash in the adoption rewrite's rmtree->rename window leaves the
+    only complete copy at warehouse/{name}_adopting; the next entry point
+    must recover it (it is a committed copy, marked by _SUCCESS) instead of
+    reporting the store missing or silently starting a fresh empty one."""
+    from alexandria_spark.sources.docstore import (
+        drop_doc_store,
+        gc_doc_store,
+        load_doc_store,
+        save_doc_store,
+    )
+
+    name = "ax_store_adopt_crash"
+    drop_doc_store(spark, name)
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    )
+    save_doc_store(docs, name, buckets=4)
+    # crash simulation: the completed adoption output exists, everything
+    # else (catalog entry, live dir) is gone
+    _orphan_store(spark, name, as_name=f"{name}_adopting")
+    assert not spark.catalog.tableExists(name)
+
+    assert load_doc_store(spark, name).count() == 60
+
+    # and the same recovery inside gc (single rewrite, GC applied)
+    _orphan_store(spark, name, as_name=f"{name}_adopting")
+    tombs = spark.range(6).select(F.col("id").alias("doc_id"))
+    assert gc_doc_store(tombs, name, buckets=4)
+    assert load_doc_store(spark, name).count() == 54
+    drop_doc_store(spark, name)

@@ -115,24 +115,34 @@ def deduplicate_results(results: DataFrame, cfg,
 
     Equivalent DataFrame form: the walk-order count per domain IS the
     per-domain row_number over (score desc, doc asc), so in_cap =
-    row_number <= dedup_group_count; group ranks + one scalar count decide
-    the backfill. Inputs are bounded by pre_result_limit, so the unkeyed
-    windows/aggregate stay small by construction."""
+    row_number <= dedup_group_count. Kept rows are the first
+    ``result_limit`` of each class, so each class is TakeOrdered-truncated
+    to result_limit rows FIRST and the rank/backfill windows run over at
+    most 2 x result_limit rows — no unkeyed window ever sees more than
+    that, whatever pre_result_limit grows to. The backfill quota needs
+    only min(n_dedup, result_limit), which the truncated in-cap class
+    itself provides."""
     cap, limit = int(cfg.dedup_group_count), int(cfg.result_limit)
-    w_dom = Window.partitionBy(domain_col).orderBy(F.desc("score"), F.asc(id_col))
+    order = (F.desc("score"), F.asc(id_col))
+    w_dom = Window.partitionBy(domain_col).orderBy(*order)
     r = results.withColumn("in_cap", F.row_number().over(w_dom) <= cap)
-    w_grp = Window.partitionBy("in_cap").orderBy(F.desc("score"), F.asc(id_col))
-    r = r.withColumn("gn", F.row_number().over(w_grp))
-    n_dedup = r.agg(
+    # per-class TakeOrderedAndProject: rows past result_limit in either
+    # class can never be kept (in-cap rank > limit; backfill quota <= limit)
+    in_top = r.where(F.col("in_cap")).orderBy(*order).limit(limit)
+    over_top = r.where(~F.col("in_cap")).orderBy(*order).limit(limit)
+    small = in_top.unionByName(over_top)
+    w_grp = Window.partitionBy("in_cap").orderBy(*order)
+    small = small.withColumn("gn", F.row_number().over(w_grp))
+    n_dedup = small.agg(
         F.sum(F.when(F.col("in_cap"), 1).otherwise(0)).cast("long").alias("nd")
-    )
-    r = r.crossJoin(F.broadcast(n_dedup))
+    )  # == min(true n_dedup, limit): exactly what the quota formula needs
+    small = small.crossJoin(F.broadcast(n_dedup))
     keep = (F.col("in_cap") & (F.col("gn") <= limit)) | (
         ~F.col("in_cap") & (F.col("gn") <= F.greatest(F.lit(limit) - F.col("nd"), F.lit(0)))
     )
     return (
-        r.where(keep).drop("in_cap", "gn", "nd")
-        .orderBy(F.desc("score"), F.asc(id_col))
+        small.where(keep).drop("in_cap", "gn", "nd")
+        .orderBy(*order)
     )
 
 

@@ -781,14 +781,26 @@ SQL_BM25_MODES = (
 def q_engines_search_topk(spark, sf_dir):
     """The SAME AND top-k through three serving engines — distributed
     block-max WAND (search_bmw), the warm doc-partitioned engine, and the
-    RAM-pinned LocalIndex — each tagged; all three must equal the oracle."""
+    RAM-pinned LocalIndex — each tagged; all three must equal the oracle.
+    A fourth leg serves through the AUTO layout selector (choose_engine,
+    query_submit.py --engine auto): the routing decision dispatches for
+    real (a wrong route raises → err row), and the routed engine's results
+    must equal the same oracle."""
+    from alexandria_spark.plans.query import choose_engine
+
     bmw = q_bmw_search_topk(spark, sf_dir)
     dp = q_docpart_search_topk(spark, sf_dir)
     li = q_local_index_topk(spark, sf_dir)
+    route = choose_engine(" ".join(Q_AND), "and", _IDX_CFG)
+    if route != "docpart":  # the documented AND rule (plans/query.py:447)
+        raise AssertionError(f"auto routed a multi-term AND to {route!r}")
+    auto = {"bmw": q_bmw_search_topk, "docpart": q_docpart_search_topk,
+            "local": q_local_index_topk}[route](spark, sf_dir)
     return (
         bmw.select(F.lit("bmw").alias("engine"), "doc_id", "score")
         .unionByName(dp.select(F.lit("docpart").alias("engine"), "doc_id", "score"))
         .unionByName(li.select(F.lit("local").alias("engine"), "doc_id", "score"))
+        .unionByName(auto.select(F.lit("auto").alias("engine"), "doc_id", "score"))
     )
 
 
@@ -799,6 +811,8 @@ def _sql_engines_search_topk():
         f"SELECT 'docpart', doc_id, score FROM ({SQL_INDEX_SEARCH_TOPK})"
         f" UNION ALL "
         f"SELECT 'local', doc_id, score FROM ({SQL_INDEX_SEARCH_TOPK})"
+        f" UNION ALL "
+        f"SELECT 'auto', doc_id, score FROM ({SQL_INDEX_SEARCH_TOPK})"
     )
 
 

@@ -376,3 +376,65 @@ def test_doc_store_serve_pinned_against_concurrent_append(spark, tmp_path):
 
     # explicit re-load advances the pin to the appended state
     assert load_doc_store(spark, name).count() == 40
+
+
+def test_gc_doc_store_with_concurrent_append_and_pinned_reader(spark):
+    """GC ↔ pin interplay (gc_doc_store docstring): (1) an append landing
+    through a cloned microbatch session AFTER a serving session's pin must
+    survive a GC rewrite — gc_doc_store refreshes to the store's true state
+    before rewriting, so it can never rewrite from a stale pinned listing;
+    (2) retention beats reader grace: a reader still pinned to the pre-GC
+    listing fails fast on its next action (the old files, which held the
+    tombstoned bytes, are physically gone), and an explicit re-load is the
+    recovery that serves the post-GC truth."""
+    import pytest
+
+    from alexandria_spark.sources.docstore import (
+        append_doc_store,
+        drop_doc_store,
+        gc_doc_store,
+        load_doc_store,
+        save_doc_store,
+    )
+
+    name = "ax_gc_pin_store"
+    drop_doc_store(spark, name)
+    try:
+        base = spark.range(30).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("old text "), F.col("id")).alias("text"),
+        )
+        save_doc_store(base, name, buckets=4)
+        pinned = load_doc_store(spark, name)
+        assert pinned.count() == 30
+
+        # streaming-shaped append through a cloned session, after the pin
+        clone = spark.newSession()
+        extra = clone.range(30, 40).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("new text "), F.col("id")).alias("text"),
+        )
+        append_doc_store(extra, name, buckets=4)
+
+        # GC runs in the CLONE (maintenance session), tombstoning one
+        # pre-pin doc and one freshly appended doc
+        tombs = clone.createDataFrame([(5,), (35,)], ["doc_id"])
+        assert gc_doc_store(tombs, name, buckets=4)
+
+        # (1) the rewrite saw the true 40-row state: the appended docs
+        # survived, both tombstoned payloads are gone
+        post = clone.table(name)
+        assert post.count() == 38
+        assert post.where(F.col("doc_id").isin(5, 35)).count() == 0
+        assert post.where(F.col("doc_id") == 36).count() == 1
+
+        # (2) the serving session's pre-GC pin now points at dropped files:
+        # its next action fails fast instead of serving retained bytes...
+        with pytest.raises(Exception):
+            pinned.count()
+        # ...and the explicit re-load recovers onto the post-GC store
+        fresh = load_doc_store(spark, name)
+        assert fresh.count() == 38
+        assert fresh.where(F.col("doc_id").isin(5, 35)).count() == 0
+    finally:
+        drop_doc_store(spark, name)

@@ -448,15 +448,20 @@ def choose_engine(query: str, mode: str, cfg: EngineConfig) -> str:
     """Serving-layout auto selection (query_submit.py --engine auto).
 
     Documented rules, from the measured layout strengths (BENCH.md): the
-    doc-partitioned layout is the best warm AND path (per-bucket WAND on
-    executors); the impact-ordered layout wins OR and single-term queries
-    (TAAT over score-ordered blocks with early exit); a phrase is a single
-    n-gram key over the term layout, where search_bmw's bucket pruning
-    serves with the least work. Every engine keeps its own guard-state
-    fallbacks (metadata overflow / mass deletion → exact distributed path),
-    so auto only picks the LAYOUT — exactness is invariant. A missing
-    layout raises that engine's actionable FileNotFoundError (how to derive
-    it, which engines serve without it) rather than silently degrading.
+    doc-partitioned layout is the best warm path for every MULTI-term
+    query — AND and OR alike (per-bucket WAND on executors; flat 0.41–0.49 s
+    from 5k through 500k docs, while the impact layout's OR path degrades
+    on hot/long lists — its phase-2 candidate completion grows with list
+    length, 1.24 s at 500k docs where docpart held 0.41 s). The
+    impact-ordered layout wins SINGLE-term queries decisively (one
+    score-ordered prefix read, ~3× faster than docpart at every measured
+    scale); a phrase is a single n-gram key over the term layout, where
+    search_bmw's bucket pruning serves with the least work. Every engine
+    keeps its own guard-state fallbacks (metadata overflow / mass deletion
+    → exact distributed path), so auto only picks the LAYOUT — exactness
+    is invariant. A missing layout raises that engine's actionable
+    FileNotFoundError (how to derive it, which engines serve without it)
+    rather than silently degrading.
     """
     if mode == "phrase":
         return "bmw"
@@ -465,7 +470,7 @@ def choose_engine(query: str, mode: str, cfg: EngineConfig) -> str:
         return "dist"  # vacuous query: serve empty without any derived layout
     if len(tids) == 1:
         return "impact"
-    return "docpart" if mode == "and" else "impact"
+    return "docpart"
 
 
 def _collect_topk(spark: SparkSession, index: Index, query: str, mode: str,

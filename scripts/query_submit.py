@@ -39,9 +39,9 @@ def main():
     idx = Index(args.index)
     engine = args.engine
     if engine == "auto":
-        # documented rules (choose_engine): AND -> docpart, OR/single-term ->
-        # impact, phrase -> bmw over the term layout. A missing layout
-        # surfaces that engine's actionable FileNotFoundError.
+        # documented rules (choose_engine): multi-term -> docpart,
+        # single-term -> impact, phrase -> bmw over the term layout. A
+        # missing layout surfaces that engine's actionable FileNotFoundError.
         engine = choose_engine(args.query, args.mode, idx.config())
     t0 = time.time()
     if engine == "local":

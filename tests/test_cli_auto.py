@@ -1,6 +1,6 @@
 """query_submit.py --engine auto: the CLI picks the right layout per query
-shape (AND -> docpart, OR/single-term -> impact, phrase -> bmw over the term
-layout) and returns hits identical to explicit engine selection; a missing
+shape (multi-term -> docpart, single-term -> impact, phrase -> bmw over the
+term layout) and returns hits identical to explicit engine selection; a missing
 layout raises the engine's actionable FileNotFoundError instead of silently
 degrading."""
 
@@ -52,7 +52,7 @@ def cli_idx(spark, tmp_path_factory):
 CASES = [
     # (query, mode, expected auto-resolved engine)
     ("def return", "and", "docpart"),
-    ("def return", "or", "impact"),
+    ("def return", "or", "docpart"),   # multi-term OR: docpart measured-best
     ("def", "or", "impact"),
     ("def", "and", "impact"),      # 1-term AND == 1-term OR -> impact single
     ("def return", "phrase", "bmw"),
@@ -94,5 +94,6 @@ def test_auto_missing_layout_errors_actionably(spark, tmp_path, monkeypatch,
         _run_cli(mod, monkeypatch, capsys, "--index", path,
                  "--query", "def return", "--mode", "and", "--engine", "auto")
     with pytest.raises(FileNotFoundError, match="derive-impact"):
+        # single-term routes to impact; multi-term OR routes to docpart now
         _run_cli(mod, monkeypatch, capsys, "--index", path,
-                 "--query", "def return", "--mode", "or", "--engine", "auto")
+                 "--query", "def", "--mode", "or", "--engine", "auto")

@@ -38,6 +38,14 @@ from alexandria_spark.plans.blocks import build_blocks, decode_blocks
 from alexandria_spark.plans.build import BLOCK_SCHEMA, Index
 from alexandria_spark.plans.query import _query_term_ids, _shard_of
 
+# phase-2 completion: most payload blocks a single query may pull to the
+# driver for local numpy summing. Past this, candidate ranges intersect so
+# many blocks that "pruned" ≈ "everything" (dense hot-term ORs), and the
+# fully distributed completion — whose driver transfer is bounded by the
+# candidate count, not the posting volume — is both faster and the only
+# 100-TB-safe shape. 64 blocks ≈ 256k postings ≈ a few MB decoded.
+_P2_MAX_DRIVER_BLOCKS = 64
+
 
 def _impact_arrange(pdf: pd.DataFrame, block_size: int, keep_tf: bool,
                     num_shards: int) -> pd.DataFrame:
@@ -588,10 +596,19 @@ def _exact_scores_docsorted(spark: SparkSession, index: Index,
                             term_ids: list[int], cand: np.ndarray,
                             cfg: EngineConfig,
                             _doc_blocks=None) -> tuple[dict[int, float], int]:
-    """Exact OR scores for the candidate docs from the doc-sorted postings:
-    metadata-pruned (a block is read only when its unsigned doc range
-    contains a candidate), one distributed job, driver receives only the
-    kept blocks' payloads filtered to candidates.
+    """Exact OR scores for the candidate docs from the doc-sorted postings.
+
+    Selective candidate sets (block pruning keeps few blocks): one job
+    pulls only the kept blocks' payloads to the driver and sums in numpy —
+    a single stage, tiny transfer. Dense candidate sets — the common case
+    for hot multi-term ORs at scale, where thousands of uniformly-spread
+    candidates intersect EVERY block's [min_doc, max_doc] range and
+    pruning keeps everything — switch to the fully distributed completion
+    (decode + broadcast semi-join + groupBy): the driver then receives
+    only one summed row per candidate instead of the terms' entire payload
+    bytes (at 500k docs the driver path measured 1.2–1.8 s pulling
+    192–288/192–288 blocks; the distributed path bounds the transfer by
+    len(cand) regardless of corpus size).
     ``_doc_blocks`` substitutes ImpactEngine's cached doc-sorted scan."""
     from alexandria_spark.plans.query import _META_GUARD_ROWS, _decode_map
 
@@ -602,12 +619,8 @@ def _exact_scores_docsorted(spark: SparkSession, index: Index,
     )
     if len(cand) == 0:
         return {}, 0
-    meta = blocks.select("term_id", "salt", "block_id",
-                         "min_doc", "max_doc").limit(_META_GUARD_ROWS + 1).toPandas()
-    if len(meta) > _META_GUARD_ROWS:
-        # metadata guard: skip driver-side block pruning and complete the
-        # candidates with one fully distributed decode + semi-join +
-        # groupBy job (candidate set is bounded by the phase-1 prefix)
+
+    def _complete_distributed() -> dict[int, float]:
         keys = spark.createDataFrame(
             [(int(x),) for x in cand.tolist()], "doc_id long"
         )
@@ -618,7 +631,14 @@ def _exact_scores_docsorted(spark: SparkSession, index: Index,
             .agg(F.sum(F.col("score").cast("double")).alias("s"))
             .collect()
         )
-        return {int(r["doc_id"]): float(r["s"]) for r in rows}, -1
+        return {int(r["doc_id"]): float(r["s"]) for r in rows}
+
+    meta = blocks.select("term_id", "salt", "block_id",
+                         "min_doc", "max_doc").limit(_META_GUARD_ROWS + 1).toPandas()
+    if len(meta) > _META_GUARD_ROWS:
+        # metadata guard: skip driver-side block pruning entirely
+        # (candidate set is bounded by the phase-1 prefix)
+        return _complete_distributed(), -1
     if len(meta) == 0:
         return {}, 0
     cand_u = np.sort(cand.view(np.uint64))
@@ -629,6 +649,10 @@ def _exact_scores_docsorted(spark: SparkSession, index: Index,
     kept = meta[b > a]
     if len(kept) == 0:
         return {}, 0
+    if len(kept) > _P2_MAX_DRIVER_BLOCKS:
+        # pruning kept too much to ship to the driver — complete
+        # distributed; blocks_fetched_p2 = -len(kept) marks the switch
+        return _complete_distributed(), -int(len(kept))
     keys = spark.createDataFrame(kept[["term_id", "salt", "block_id"]])
     payload = blocks.join(
         F.broadcast(keys), ["term_id", "salt", "block_id"], "left_semi"

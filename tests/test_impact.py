@@ -7,7 +7,11 @@ import pytest
 from alexandria_spark.config import EngineConfig
 from alexandria_spark.plans.blocks import decode_blocks
 from alexandria_spark.plans.build import build_index, with_doc_ids
-from alexandria_spark.plans.impact import build_impact_postings, impact_single_topk
+from alexandria_spark.plans.impact import (
+    build_impact_postings,
+    impact_or_topk,
+    impact_single_topk,
+)
 from alexandria_spark.plans.query import LocalIndex
 from alexandria_spark.sources.tables import synth_corpus
 
@@ -206,6 +210,37 @@ def test_exact_scores_distributed_fallback(spark, idx, monkeypatch):
     assert set(got) == set(base)
     for d in base:
         assert abs(got[d] - base[d]) <= 1e-9 * max(1.0, abs(base[d]))
+
+
+
+def test_exact_scores_dense_candidates_go_distributed(spark, idx, monkeypatch):
+    """When block pruning keeps more than _P2_MAX_DRIVER_BLOCKS blocks (a
+    dense candidate set — every block's doc range holds a candidate, the
+    hot multi-term OR shape at scale), phase-2 completion must switch to
+    the distributed decode+semi-join path instead of pulling the terms'
+    whole payloads to the driver, with identical exact scores."""
+    from alexandria_spark.plans import impact as imod
+    from alexandria_spark.plans.impact import _exact_scores_docsorted
+    from alexandria_spark.plans.query import _query_term_ids
+
+    tids = _query_term_ids("def return", "or", CFG)
+    cand = np.array(
+        [d for d, _ in impact_single_topk(spark, idx, "def", k=20, cfg=CFG)],
+        dtype=np.int64,
+    )
+    base, base_blocks = _exact_scores_docsorted(spark, idx, tids, cand, CFG)
+    assert base_blocks > 0  # small index: driver path by default
+    monkeypatch.setattr(imod, "_P2_MAX_DRIVER_BLOCKS", 0)
+    got, got_blocks = _exact_scores_docsorted(spark, idx, tids, cand, CFG)
+    assert got_blocks == -base_blocks  # the dense switch actually ran
+    assert set(got) == set(base)
+    for d in base:
+        assert abs(got[d] - base[d]) <= 1e-9 * max(1.0, abs(base[d]))
+    # end-to-end: the whole OR query stays rank-identical under the switch
+    forced = impact_or_topk(spark, idx, "def return", k=10, cfg=CFG)
+    monkeypatch.undo()
+    normal = impact_or_topk(spark, idx, "def return", k=10, cfg=CFG)
+    assert [d for d, _ in forced] == [d for d, _ in normal]
 
 
 from hypothesis import given, settings  # noqa: E402

@@ -46,6 +46,15 @@ from alexandria_spark.plans.query import _query_term_ids, _shard_of
 # 100-TB-safe shape. 64 blocks ≈ 256k postings ≈ a few MB decoded.
 _P2_MAX_DRIVER_BLOCKS = 64
 
+# phase-1 impact walk: most payload blocks the driver-orchestrated loop may
+# decode before conceding that early termination is not biting (adversarial
+# flat score distributions never satisfy the strict θ > U stop — all-equal
+# scores make θ == U exactly — and would otherwise stream ENTIRE hot lists
+# through the driver batch by batch). Past the cap the query is served by
+# the exact distributed fallback instead. 512 blocks ≈ 2M postings ≈ tens
+# of MB of decoded chunks, far past any case where the walk still wins.
+_P1_MAX_DRIVER_BLOCKS = 512
+
 
 def _impact_arrange(pdf: pd.DataFrame, block_size: int, keep_tf: bool,
                     num_shards: int) -> pd.DataFrame:
@@ -417,6 +426,11 @@ def impact_single_topk(spark: SparkSession, index: Index, query: str,
     n_collected = 0
     read = 0
     for i in range(len(meta)):
+        if read >= _P1_MAX_DRIVER_BLOCKS:
+            # early termination is not biting (flat score distribution):
+            # stop streaming payloads through the driver, serve exact
+            return _search_fallback(spark, index, query, "or", k, cfg,
+                                    _stats, _doc_blocks=_blocks)
         kth = None
         if n_collected >= k:
             allsc = np.concatenate(scores)
@@ -526,6 +540,11 @@ def impact_or_topk(spark: SparkSession, index: Index, query: str,
 
     n_seen_docs = 0
     while readers:
+        if p1_read >= _P1_MAX_DRIVER_BLOCKS:
+            # flat score distributions never satisfy the strict θ > U stop;
+            # concede the driver-orchestrated walk and serve exact
+            return _search_fallback(spark, index, query, "or", k, cfg,
+                                    _stats, _doc_blocks=_doc_blocks)
         live = [t for t in readers if ptr[t] < len(metas[t])]
         if not live:
             break

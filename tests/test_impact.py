@@ -243,6 +243,26 @@ def test_exact_scores_dense_candidates_go_distributed(spark, idx, monkeypatch):
     assert [d for d, _ in forced] == [d for d, _ in normal]
 
 
+
+def test_phase1_walk_cap_falls_back_exact(spark, idx, monkeypatch):
+    """When the phase-1 impact walk exceeds its driver block budget (flat
+    score distributions where the strict early-termination bound never
+    fires), both single-term and OR serving must concede to the exact
+    distributed fallback with identical ranks — never stream unbounded
+    payloads through the driver."""
+    from alexandria_spark.plans import impact as imod
+
+    base_s = impact_single_topk(spark, idx, "def", k=10, cfg=CFG)
+    base_o = impact_or_topk(spark, idx, "def return", k=10, cfg=CFG)
+    monkeypatch.setattr(imod, "_P1_MAX_DRIVER_BLOCKS", 1)
+    got_s = impact_single_topk(spark, idx, "def", k=10, cfg=CFG)
+    got_o = impact_or_topk(spark, idx, "def return", k=10, cfg=CFG)
+    assert [d for d, _ in got_s] == [d for d, _ in base_s]
+    assert [d for d, _ in got_o] == [d for d, _ in base_o]
+    for (d1, s1), (d2, s2) in zip(got_s + got_o, base_s + base_o):
+        assert abs(s1 - s2) <= 1e-9 * max(1.0, abs(s2))
+
+
 from hypothesis import given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 

@@ -127,6 +127,43 @@ def _loadavg() -> list[float]:
         return []
 
 
+def classify_reps(reps: list[dict]) -> list[bool]:
+    """Mark each paired scaling rep valid/invalid from the session's own
+    telemetry. A rep is valid iff ALL of:
+
+    1. every memcpy probe around it sits within 15% of the session-median
+       probe rate — its legs ran under the same machine weather as the rest
+       of the session;
+    2. its ratio is physically plausible: a CPU-pinned 1→4-core pair cannot
+       exceed ~1.0 efficiency, so ratio > 1.05 can only mean external load
+       landed on the 1-core leg (the r5 session recorded such a rep at
+       1.275 with loadavg 6.3 at the 1c leg start — the probes bracketed
+       the storm and missed it);
+    3. each leg's docs/s sits within 20% of the session median for that
+       core level — same job, same corpus, same pinned cores must run at
+       the same rate modulo weather, and this catches slow legs the
+       5-second probes straddle.
+    """
+    all_probes = [p for r in reps for p in r["probes_mb_per_sec"]]
+    probe_med = statistics.median(all_probes)
+    leg_rates: dict[int, list[float]] = {}
+    for r in reps:
+        for leg in r["legs"]:
+            leg_rates.setdefault(leg["cores"], []).append(leg["docs_per_sec"])
+    rate_med = {c: statistics.median(v) for c, v in leg_rates.items()}
+    out = []
+    for r in reps:
+        ok = all(abs(p - probe_med) <= 0.15 * probe_med
+                 for p in r["probes_mb_per_sec"])
+        ok = ok and r["ratio"] <= 1.05
+        ok = ok and all(
+            abs(leg["docs_per_sec"] - rate_med[leg["cores"]])
+            <= 0.20 * rate_med[leg["cores"]]
+            for leg in r["legs"])
+        out.append(ok)
+    return out
+
+
 def main() -> None:
     """Always prints one JSON line; a failing phase is recorded in the
     output (error_* keys) instead of crashing the bench."""
@@ -334,13 +371,10 @@ def main() -> None:
         reps: list[dict] = []
 
         def _classify() -> list[bool]:
-            # a rep is valid iff every probe around it sits within 15% of the
-            # session-median probe rate — i.e. its two legs ran under the
-            # same machine weather as the rest of the session
-            all_probes = [p for r in reps for p in r["probes_mb_per_sec"]]
-            med = statistics.median(all_probes)
-            return [all(abs(p - med) <= 0.15 * med
-                        for p in r["probes_mb_per_sec"]) for r in reps]
+            # probe weather + superlinear cap + per-level rate consistency;
+            # module-level so the checks are unit-testable against recorded
+            # session telemetry (tests/test_bench_classify.py)
+            return classify_reps(reps)
 
         t_c0 = time.time()
         wall_budget = float(os.environ.get("SPARK_GRAFT_SCALE_WALL_SEC",
@@ -387,8 +421,11 @@ def main() -> None:
                     "docs) is <5% of the 1-core run; at a real cluster's "
                     "hours-long builds that fraction vanishes entirely. "
                     "Protocol: alternating paired reps bracketed by fixed-work "
-                    "memcpy probes; reps with >15% probe deviation from the "
-                    "session median are invalid and re-run (bounded); "
+                    "memcpy probes; a rep is invalid (and re-run, bounded) if "
+                    "any probe deviates >15% from the session median, if its "
+                    "ratio is superlinear (>1.05 — impossible on pinned cores, "
+                    "so the 1c leg was polluted), or if either leg's docs/s "
+                    "deviates >20% from the session median at that core level; "
                     "headline = median of valid reps. Full core curve "
                     "reported for transparency.",
             "corpus_docs": scale_docs,

@@ -1,0 +1,89 @@
+"""Unit tests for bench.py's scaling-rep validity classifier.
+
+The fixture reps are the RECORDED telemetry from the round-5 final local
+scaling session (BENCH_LOCAL_r5_final.json): rep 0 measured a physically
+impossible 1.275 efficiency on a CPU-pinned 1->4 pair (its 1c leg started
+at loadavg 6.3 and ran at 775 docs/s vs a 1008 session median) yet passed
+the probe-only filter — max-of-reps would have made it the headline. The
+classifier must reject it on plausibility and leg-rate grounds while
+keeping the genuinely clean reps.
+"""
+
+import statistics
+
+from bench import classify_reps
+
+
+def _rep(ratio, probes, legs):
+    return {
+        "ratio": ratio,
+        "probes_mb_per_sec": list(probes),
+        "legs": [{"cores": c, "docs_per_sec": r} for c, r in legs],
+    }
+
+
+# recorded session: (ratio, probes, [(cores, docs_per_sec), ...])
+R5_FINAL_REPS = [
+    _rep(1.275, (10232.1, 10930.9, 9683.1), [(1, 775.4), (4, 3955.8)]),
+    _rep(0.957, (10403.3, 11873.2, 12127.0), [(1, 1004.6), (4, 3843.8)]),
+    _rep(0.700, (11573.2, 11943.2, 11801.4), [(1, 1163.3), (4, 3256.8)]),
+    _rep(0.663, (9836.7, 10290.2, 8373.1), [(1, 1010.9), (4, 2682.9)]),
+]
+
+
+def test_recorded_r5_session_rejects_superlinear_rep():
+    valid = classify_reps(R5_FINAL_REPS)
+    # rep 0: superlinear ratio AND 1c leg 23% below the session median rate
+    assert valid[0] is False
+    # rep 1: clean everywhere
+    assert valid[1] is True
+    # rep 2: probes within 15%, ratio plausible, legs within 20%
+    assert valid[2] is True
+    # rep 3: probe 8373 deviates >15% from the ~10667 session median
+    assert valid[3] is False
+
+
+def test_recorded_r5_session_headline_still_passes_gate():
+    valid = classify_reps(R5_FINAL_REPS)
+    ratios = [r["ratio"] for r, ok in zip(R5_FINAL_REPS, valid) if ok]
+    assert len(ratios) >= 2
+    assert statistics.median(ratios) >= 0.8
+
+
+def test_probe_deviation_invalidates():
+    reps = [
+        _rep(0.9, (10000, 10000, 10000), [(1, 1000), (4, 3600)]),
+        _rep(0.9, (10000, 7000, 10000), [(1, 1000), (4, 3600)]),
+        _rep(0.9, (10000, 10000, 10000), [(1, 1000), (4, 3600)]),
+    ]
+    assert classify_reps(reps) == [True, False, True]
+
+
+def test_superlinear_ratio_invalidates_even_with_clean_probes():
+    # load that lands between probes slows the 1c leg without touching the
+    # probe readings — the ratio cap is the only signal left
+    reps = [
+        _rep(1.10, (10000, 10000, 10000), [(1, 850), (4, 3740)]),
+        _rep(0.95, (10000, 10000, 10000), [(1, 1000), (4, 3800)]),
+        _rep(0.93, (10000, 10000, 10000), [(1, 1000), (4, 3720)]),
+    ]
+    assert classify_reps(reps) == [False, True, True]
+
+
+def test_slow_leg_invalidates_either_direction():
+    reps = [
+        _rep(0.95, (10000, 10000, 10000), [(1, 1000), (4, 3800)]),
+        # 4c leg 30% below the session median at 4 cores
+        _rep(0.66, (10000, 10000, 10000), [(1, 1000), (4, 2650)]),
+        _rep(0.94, (10000, 10000, 10000), [(1, 1010), (4, 3790)]),
+    ]
+    assert classify_reps(reps) == [True, False, True]
+
+
+def test_all_clean_session_keeps_every_rep():
+    reps = [
+        _rep(0.92, (10000, 10100, 9900), [(1, 1000), (4, 3680)]),
+        _rep(0.95, (9950, 10050, 10000), [(1, 990), (4, 3760)]),
+        _rep(0.90, (10020, 9980, 10010), [(1, 1005), (4, 3620)]),
+    ]
+    assert classify_reps(reps) == [True, True, True]

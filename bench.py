@@ -164,6 +164,10 @@ def classify_reps(reps: list[dict]) -> list[bool]:
     return out
 
 
+class _SkipPhase(Exception):
+    """Raised to skip an optional bench phase (never recorded as an error)."""
+
+
 def main() -> None:
     """Always prints one JSON line; a failing phase is recorded in the
     output (error_* keys) instead of crashing the bench."""
@@ -177,8 +181,18 @@ def main() -> None:
 
     from alexandria_spark.session import get_spark
 
+    # SPARK_GRAFT_SCALE_ONLY=1 skips phases A+B and runs only the phase-C
+    # scaling pair — for catching a clean host-weather window without
+    # re-paying the ~5-minute build/latency phases (the skip is recorded so
+    # a scale-only artifact is never mistaken for a full session)
+    scale_only = os.environ.get("SPARK_GRAFT_SCALE_ONLY", "") == "1"
+    if scale_only:
+        out["phases_skipped"] = "build+latency (SPARK_GRAFT_SCALE_ONLY)"
+
     # ---- phase A+B: build at full parallelism, then query latency -------
     try:
+        if scale_only:
+            raise _SkipPhase
         from alexandria_spark.plans.build import Index
         from alexandria_spark.plans.query import LocalIndex, QueryEngine, search
 
@@ -286,6 +300,8 @@ def main() -> None:
             "docpart_warm_p50_sec": round(statistics.median(dwarm), 3),
             "impact_warm_p50_sec": round(statistics.median(iwarm), 3),
         }
+    except _SkipPhase:
+        pass
     except Exception as exc:  # noqa: BLE001 — report, don't crash the bench
         out["error_build_latency"] = repr(exc)[:500]
 

@@ -67,7 +67,7 @@ def filter_deleted(spark: SparkSession, index: Index, results: DataFrame) -> Dat
 def compact(spark: SparkSession, index: Index,
             cfg: EngineConfig | None = None,
             doc_store: str | None = None,
-            doc_store_buckets: int = 32) -> Index:
+            doc_store_buckets: int | None = None) -> Index:
     """Physically drop tombstoned docs: rebuild postings/stats from the
     retained term_doc rows, then clear the tombstones. Requires the index
     to have been built with materialize_stage1=True.

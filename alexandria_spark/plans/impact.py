@@ -426,17 +426,19 @@ def impact_single_topk(spark: SparkSession, index: Index, query: str,
     n_collected = 0
     read = 0
     for i in range(len(meta)):
-        if read >= _P1_MAX_DRIVER_BLOCKS:
-            # early termination is not biting (flat score distribution):
-            # stop streaming payloads through the driver, serve exact
-            return _search_fallback(spark, index, query, "or", k, cfg,
-                                    _stats, _doc_blocks=_blocks)
         kth = None
         if n_collected >= k:
             allsc = np.concatenate(scores)
             kth = np.partition(allsc, len(allsc) - k)[len(allsc) - k]
         if kth is not None and kth > maxs[i]:
             break  # no remaining block can contribute a better posting
+        if read >= _P1_MAX_DRIVER_BLOCKS:
+            # early termination is not biting (flat score distribution) and
+            # ANOTHER block would have to stream through the driver: concede
+            # and serve exact (the stop test above runs first, so a walk
+            # that terminates exactly at the cap keeps its finished work)
+            return _search_fallback(spark, index, query, "or", k, cfg,
+                                    _stats, _doc_blocks=_blocks)
         dec = decode_blocks(pd.DataFrame([reader.row(i)]))
         du, sc = _drop_deleted_u(
             dec["doc_id"].to_numpy().view(np.uint64),
@@ -540,11 +542,6 @@ def impact_or_topk(spark: SparkSession, index: Index, query: str,
 
     n_seen_docs = 0
     while readers:
-        if p1_read >= _P1_MAX_DRIVER_BLOCKS:
-            # flat score distributions never satisfy the strict θ > U stop;
-            # concede the driver-orchestrated walk and serve exact
-            return _search_fallback(spark, index, query, "or", k, cfg,
-                                    _stats, _doc_blocks=_doc_blocks)
         live = [t for t in readers if ptr[t] < len(metas[t])]
         if not live:
             break
@@ -556,6 +553,13 @@ def impact_or_topk(spark: SparkSession, index: Index, query: str,
                 theta = np.partition(sums, len(sums) - k)[len(sums) - k]
                 if theta > u_total:
                     break
+        if p1_read >= _P1_MAX_DRIVER_BLOCKS:
+            # flat score distributions never satisfy the strict θ > U stop
+            # and ANOTHER block would have to stream through the driver:
+            # concede the walk and serve exact (the stop test above runs
+            # first, so terminating exactly at the cap keeps the result)
+            return _search_fallback(spark, index, query, "or", k, cfg,
+                                    _stats, _doc_blocks=_doc_blocks)
         t = max(live, key=bound.__getitem__)
         dec = decode_blocks(pd.DataFrame([readers[t].row(ptr[t])]))
         du, sc = _drop_deleted_u(

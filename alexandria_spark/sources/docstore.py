@@ -63,13 +63,31 @@ def _has_complete_data(d: str) -> bool:
     )
 
 
+def _retire_dir(spark: SparkSession, name: str, d: str) -> None:
+    """Delete a condemned store directory CRASH-SAFELY: atomically rename
+    it aside to ``{name}_trash`` first, then rmtree the trash. A crash
+    mid-rmtree of the directory itself could leave ``_SUCCESS`` plus a
+    subset of part files — a remnant that still passes
+    ``_has_complete_data`` and would be adopted as the store's truth over
+    the real complete copy parked at ``{name}_adopting``/``{name}_compacting``
+    (whose dir the retry then deletes: data loss). The rename is atomic,
+    the trash name is never in the adoption trust order, and a crashed
+    trash removal is finished by the next retire/drop."""
+    trash = _warehouse_dir(spark, f"{name}_trash")
+    shutil.rmtree(trash, ignore_errors=True)  # finish a crashed removal
+    if os.path.isdir(d):
+        os.rename(d, trash)
+        shutil.rmtree(trash, ignore_errors=True)
+
+
 def _orphan_source_dir(spark: SparkSession, name: str) -> str | None:
     """The directory holding the store's durable truth when the catalog
     forgot the table, in trust order: the live dir, a swap's parked old
     copy, a crashed adoption's or GC's completed output (the
     rmtree-before-rename window — without those candidates such a crash
-    would strand the only copy). Returns None when nothing complete
-    exists anywhere."""
+    would strand the only copy). ``{name}_trash`` is deliberately NOT a
+    candidate: it only ever holds condemned data mid-removal. Returns
+    None when nothing complete exists anywhere."""
     for cand in (name, f"{name}_old", f"{name}_adopting", f"{name}_compacting"):
         d = _warehouse_dir(spark, cand)
         if _has_complete_data(d):
@@ -126,7 +144,7 @@ def _ensure_registered(spark: SparkSession, name: str,
         df.write.bucketBy(n_buckets, "doc_id").sortBy("doc_id")
         .mode("overwrite").format("parquet").saveAsTable(tmp)
     )  # fully materialized BEFORE the orphan dirs are removed
-    shutil.rmtree(src_dir, ignore_errors=True)
+    _retire_dir(spark, name, src_dir)
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
     _write_meta(spark, name, n_buckets)
     return True
@@ -137,7 +155,8 @@ def drop_doc_store(spark: SparkSession, name: str = "ax_doc_store") -> None:
     every recovery remnant adoption would otherwise resurrect (`_old`,
     `_adopting`, `_compacting`). The cleanup tests and teardown paths must
     use — a bare DROP TABLE leaves the durable directory truth behind."""
-    for cand in (name, f"{name}_old", f"{name}_adopting", f"{name}_compacting"):
+    for cand in (name, f"{name}_old", f"{name}_adopting", f"{name}_compacting",
+                 f"{name}_trash"):
         _drop_table_and_dir(spark, cand)
 
 
@@ -172,7 +191,7 @@ def append_doc_store(docs: DataFrame, name: str = "ax_doc_store",
 
 
 def gc_doc_store(tombstones: DataFrame, name: str = "ax_doc_store",
-                 buckets: int = 32) -> bool:
+                 buckets: int | None = None) -> bool:
     """Physically remove tombstoned docs' payloads from the bucketed store.
 
     ``filter_deleted`` already hides tombstoned docs from every query path,
@@ -183,7 +202,11 @@ def gc_doc_store(tombstones: DataFrame, name: str = "ax_doc_store",
 
     One distributed anti-join rewrite into a fresh table with the SAME
     bucket spec (so the shuffle-free decoration plan is preserved), then a
-    catalog-level rename swap. A crash between the two renames leaves the
+    catalog-level rename swap. ``buckets`` defaults to the store's OWN
+    recorded bucket count (``_ax_store_meta.json``) — a GC must never
+    silently rebucket the store, or the streaming ingest still appending
+    with the original spec fails its next microbatch; pass it explicitly
+    only to intentionally re-spec during the rewrite. A crash between the two renames leaves the
     data parked at ``{name}_old`` (recovered by the next entry point, same
     or new session), never deleted-but-unreplaced. Returns False if the
     store exists in neither the catalog nor the warehouse.
@@ -214,6 +237,8 @@ def gc_doc_store(tombstones: DataFrame, name: str = "ax_doc_store",
         if src_dir is None:
             return False
         src = spark.read.parquet(src_dir)
+    if buckets is None:
+        buckets = _read_buckets_meta(_warehouse_dir(spark, name), None)
     kept = src.join(tombstones.select("doc_id"), "doc_id", "left_anti")
     tmp = f"{name}_compacting"
     _drop_table_and_dir(spark, tmp)
@@ -227,7 +252,7 @@ def gc_doc_store(tombstones: DataFrame, name: str = "ax_doc_store",
         spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
         spark.sql(f"DROP TABLE {name}_old")
     else:
-        shutil.rmtree(_warehouse_dir(spark, name), ignore_errors=True)
+        _retire_dir(spark, name, _warehouse_dir(spark, name))
         spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
     _write_meta(spark, name, buckets)
     return True

@@ -32,7 +32,10 @@ def main():
     p.add_argument("--doc-store", default=None,
                    help="bucketed doc-store table paired with this index: "
                         "compact also GCs tombstoned payloads from it")
-    p.add_argument("--doc-store-buckets", type=int, default=32)
+    p.add_argument("--doc-store-buckets", type=int, default=None,
+                   help="override the store's recorded bucket count during "
+                        "the GC rewrite (default: preserve the spec from "
+                        "_ax_store_meta.json)")
     p.add_argument("--leftover-min-age-sec", type=float, default=6 * 3600.0,
                    help="expire deletes _rebuilding staging dirs only when "
                         "idle this long (live-writer safety); _old swap "

@@ -263,6 +263,45 @@ def test_phase1_walk_cap_falls_back_exact(spark, idx, monkeypatch):
         assert abs(s1 - s2) <= 1e-9 * max(1.0, abs(s2))
 
 
+def test_phase1_cap_boundary_keeps_terminated_walk(spark, idx, monkeypatch):
+    """A walk that early-terminates EXACTLY at the driver block budget must
+    return its finished driver-side result, not discard ~2M decoded
+    postings and re-serve the whole query through the distributed fallback
+    (the stop test runs before the cap check — regression for the original
+    cap-first ordering)."""
+    from alexandria_spark.plans import impact as imod
+
+    # single-term: pick a term that genuinely terminates early
+    for term in ["def", "return", "merge", "the"]:
+        stats = {}
+        base = impact_single_topk(spark, idx, term, k=5, cfg=CFG, _stats=stats)
+        if 0 < stats["blocks_read"] < stats["blocks_total"]:
+            break
+    else:
+        pytest.skip("no early-terminating term in fixture")
+    # both baselines BEFORE any cap is monkeypatched in
+    o_stats = {}
+    base_o = impact_or_topk(spark, idx, "def return", k=5, cfg=CFG,
+                            _stats=o_stats)
+
+    monkeypatch.setattr(imod, "_P1_MAX_DRIVER_BLOCKS", stats["blocks_read"])
+    capped_stats = {}
+    got = impact_single_topk(spark, idx, term, k=5, cfg=CFG,
+                             _stats=capped_stats)
+    assert "fallback" not in capped_stats, capped_stats
+    assert capped_stats["blocks_read"] == stats["blocks_read"]
+    assert got == base
+
+    # OR: same boundary property on the TAAT walk
+    monkeypatch.setattr(imod, "_P1_MAX_DRIVER_BLOCKS",
+                        o_stats["blocks_read_p1"])
+    capped_o = {}
+    got_o = impact_or_topk(spark, idx, "def return", k=5, cfg=CFG,
+                           _stats=capped_o)
+    assert "fallback" not in capped_o, capped_o
+    assert got_o == base_o
+
+
 from hypothesis import given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 

@@ -312,6 +312,40 @@ def test_docpart_guard_rails(spark, idx, tmp_path):
     assert search_docpart(spark, dp0, "merge", "and", 5).count() == 0
 
 
+def test_gc_doc_store_preserves_bucket_spec_by_default(spark):
+    """gc_doc_store without an explicit bucket count must preserve the
+    store's RECORDED spec (_ax_store_meta.json), not silently rebucket to
+    a global default — the paired streaming ingest keeps appending with
+    the original spec and would fail its next microbatch otherwise."""
+    from alexandria_spark.sources.docstore import (
+        _read_buckets_meta,
+        _warehouse_dir,
+        append_doc_store,
+        drop_doc_store,
+        gc_doc_store,
+        load_doc_store,
+        save_doc_store,
+    )
+
+    name = "ax_store_spec"
+    drop_doc_store(spark, name)
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    )
+    save_doc_store(docs, name, buckets=8)
+    tombs = spark.range(5).select(F.col("id").alias("doc_id"))
+    assert gc_doc_store(tombs, name)  # no bucket argument
+    assert _read_buckets_meta(_warehouse_dir(spark, name), None) == 8
+    # the ingest-side append with the original spec still works post-GC
+    more = spark.range(100, 110).select(
+        F.col("id").alias("doc_id"), F.lit("new").alias("text")
+    )
+    append_doc_store(more, name, buckets=8)
+    assert load_doc_store(spark, name).count() == 105
+    drop_doc_store(spark, name)
+
+
 def test_gc_doc_store_recovers_interrupted_swap(spark):
     """gc_doc_store's rename swap is two metadata ops; a crash between them
     leaves the data parked at {name}_old and no {name}. The next GC must

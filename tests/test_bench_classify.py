@@ -87,3 +87,52 @@ def test_all_clean_session_keeps_every_rep():
         _rep(0.90, (10020, 9980, 10010), [(1, 1005), (4, 3620)]),
     ]
     assert classify_reps(reps) == [True, True, True]
+
+
+# ---- property tests: the validity rules hold on arbitrary telemetry ----
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _rep_strategy():
+    probe = st.floats(min_value=5000, max_value=15000, allow_nan=False)
+    rate1 = st.floats(min_value=100, max_value=2000, allow_nan=False)
+    rate4 = st.floats(min_value=100, max_value=8000, allow_nan=False)
+    return st.tuples(probe, probe, probe, rate1, rate4).map(
+        lambda t: _rep(round(t[4] / t[3] / 4, 3), (t[0], t[1], t[2]),
+                       [(1, t[3]), (4, t[4])]))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_rep_strategy(), min_size=1, max_size=8))
+def test_superlinear_reps_never_valid(reps):
+    valid = classify_reps(reps)
+    for r, ok in zip(reps, valid):
+        if r["ratio"] > 1.05:
+            assert not ok
+
+
+@settings(max_examples=100, deadline=None)
+@given(_rep_strategy(), st.integers(min_value=1, max_value=8))
+def test_identical_reps_classified_uniformly(rep, n):
+    # n identical reps must share one verdict (no cross-rep deviation to
+    # split them); a rep can still self-invalidate via WITHIN-rep probe
+    # spread >15% or a superlinear ratio
+    reps = [dict(rep) for _ in range(n)]
+    valid = classify_reps(reps)
+    assert all(v == valid[0] for v in valid)
+    if rep["ratio"] > 1.05:
+        assert not valid[0]
+    probes = rep["probes_mb_per_sec"]
+    med = sorted(probes)[1]
+    if valid[0]:
+        assert rep["ratio"] <= 1.05
+        assert all(abs(p - med) <= 0.15 * med for p in probes)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_rep_strategy(), min_size=2, max_size=8))
+def test_classification_is_permutation_invariant(reps):
+    fwd = classify_reps(reps)
+    rev = classify_reps(list(reversed(reps)))
+    assert fwd == list(reversed(rev))

@@ -456,7 +456,11 @@ def main() -> None:
                     "ratio is superlinear (>1.05 — impossible on pinned cores, "
                     "so the 1c leg was polluted), or if either leg's docs/s "
                     "deviates >20% from the session median at that core level; "
-                    "headline = median of valid reps. Full core curve "
+                    "headline = median of valid reps. A session median above "
+                    "1.0 is physically impossible for a pinned 1->4 pair and "
+                    "flags the artifact (scaling_implausible_session) — "
+                    "correlated 1c-leg pollution evades rep-relative checks "
+                    "but not the physical bound. Full core curve "
                     "reported for transparency.",
             "corpus_docs": scale_docs,
             "rates_docs_per_sec": {
@@ -484,6 +488,15 @@ def main() -> None:
             # the budget ran out without two weather-stable reps: flag the
             # artifact instead of publishing a silent sub-target number
             scaling_out["scaling_invalid_host"] = True
+        if scaling_out["efficiency"] > 1.0:
+            # a pinned 1->4 pair cannot be superlinear, so a SESSION median
+            # above 1.0 means the 1-core legs were systematically slowed
+            # (e.g. a tenant sharing CPU 0 in bursts the probes straddle).
+            # Rep-relative checks are blind to correlated pollution — every
+            # slowed 1c leg agrees with the session median — but the
+            # physical bound is not; flag the measurement as implausible
+            # rather than publish a >1.0 "pass"
+            scaling_out["scaling_implausible_session"] = True
         if probe_median < 0.7 * _PROBE_REF_MB_S:
             # self-consistent reps can still all be slow if the WHOLE phase
             # ran on a degraded host (the r4 failure mode): the absolute

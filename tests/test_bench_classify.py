@@ -70,12 +70,86 @@ def test_superlinear_ratio_invalidates_even_with_clean_probes():
     assert classify_reps(reps) == [False, True, True]
 
 
-def test_slow_leg_invalidates_either_direction():
+def test_slow_leg_invalidates():
     reps = [
         _rep(0.95, (10000, 10000, 10000), [(1, 1000), (4, 3800)]),
-        # 4c leg 30% below the session median at 4 cores
+        # 4c leg 30% below the session's fastest plausible 4c leg
         _rep(0.66, (10000, 10000, 10000), [(1, 1000), (4, 2650)]),
         _rep(0.94, (10000, 10000, 10000), [(1, 1010), (4, 3790)]),
+    ]
+    assert classify_reps(reps) == [True, False, True]
+
+
+# Modeled on the round-5 DRIVER session (BENCH_r05.json: per-rep efficiency
+# [0.864, 0.854, 1.001, 0.615, 0.909] with ONLY the 0.615 rep marked valid):
+# sustained multi-core contention slowed MOST 4c legs, so the old
+# session-MEDIAN leg reference called the polluted majority "normal" and
+# rejected the clean rep whose legs sat inside the calibrated clean band —
+# the published headline was the deflated 0.615. The fastest-plausible-leg
+# reference must keep the clean reps and reject the polluted one. Rates for
+# reps 3-4 are the recorded values from the artifact tail; reps 0-2
+# reconstruct the recorded ratios.
+R5_DRIVER_REPS = [
+    _rep(0.864, (11500, 11600, 11400), [(1, 1040.0), (4, 3594.2)]),
+    _rep(0.854, (11700, 11500, 11800), [(1, 1045.0), (4, 3569.7)]),
+    _rep(1.001, (11600, 11900, 11500), [(1, 960.0), (4, 3843.8)]),
+    _rep(0.615, (11300, 11900, 11600), [(1, 1039.1), (4, 2555.8)]),
+    _rep(0.909, (11904, 11665, 11292), [(1, 1055.8), (4, 3838.7)]),
+]
+
+
+def test_majority_polluted_session_keeps_clean_reps():
+    valid = classify_reps(R5_DRIVER_REPS)
+    # only the deflated rep (4c leg 33% below the fastest plausible 4c leg)
+    # is rejected; the clean reps — including the 0.909 the old median rule
+    # rejected — survive
+    assert valid == [True, True, True, False, True]
+    ratios = [r["ratio"] for r, ok in zip(R5_DRIVER_REPS, valid) if ok]
+    med = statistics.median(ratios)
+    assert 0.8 <= med <= 1.0
+
+
+BANDS_240K = {1: (1098.0, 1221.0), 4: (3689.0, 4545.0)}
+
+
+def test_bands_reject_deflated_leg_even_in_agreeing_session():
+    # EVERY 4c leg contention-slowed by ~35%: session-relative checks have
+    # nothing clean to compare against and pass everything; the absolute
+    # band floor (0.75*lo) is the only signal
+    reps = [
+        _rep(0.62, (11000, 11000, 11000), [(1, 1100), (4, 2730)]),
+        _rep(0.61, (11000, 11000, 11000), [(1, 1105), (4, 2700)]),
+        _rep(0.62, (11000, 11000, 11000), [(1, 1098), (4, 2720)]),
+    ]
+    assert classify_reps(reps) == [True, True, True]
+    assert classify_reps(reps, BANDS_240K) == [False, False, False]
+
+
+def test_bands_reject_inflated_leg():
+    # a leg far ABOVE the calibrated ceiling means the pin failed (the job
+    # escaped onto idle cores) — invalid, and it must not poison the
+    # fastest-leg reference for its peers
+    reps = [
+        _rep(0.95, (11000, 11000, 11000), [(1, 1150), (4, 4370)]),
+        _rep(1.04, (11000, 11000, 11000), [(1, 1460), (4, 6080)]),
+        _rep(0.93, (11000, 11000, 11000), [(1, 1160), (4, 4315)]),
+    ]
+    got = classify_reps(reps, BANDS_240K)
+    assert got == [True, False, True]
+
+
+def test_probe4_deviation_invalidates():
+    # the r5 driver failure mode: single-core probes all healthy, but the
+    # 4-core aggregate probe around one rep reads the contention directly
+    def _rep4(ratio, probes4, legs):
+        r = _rep(ratio, (10000, 10000, 10000), legs)
+        r["probes4_mb_per_sec"] = list(probes4)
+        return r
+
+    reps = [
+        _rep4(0.92, (21500, 21400, 21600), [(1, 1000), (4, 3680)]),
+        _rep4(0.90, (21500, 14000, 21500), [(1, 1000), (4, 3600)]),
+        _rep4(0.93, (21600, 21500, 21400), [(1, 1000), (4, 3720)]),
     ]
     assert classify_reps(reps) == [True, False, True]
 

@@ -556,14 +556,19 @@ def build_index(
         if not log.is_done("stage1_term_doc", fp):
             t0 = time.time()
             term_doc = tokenize_docs(docs, cfg, id_col, text_col, keep_term)
+            # batch builds are version 0; streaming appends to this same
+            # table carry their batch's monotonic version (plans/versioning)
             term_doc = term_doc.withColumn(
+                "version", F.lit(0).cast("long")
+            ).withColumn(
                 "wave", F.pmod(F.col("shard"), F.lit(cfg.build_waves))
             )
             term_doc.write.partitionBy("wave").mode("overwrite").parquet(td_path)
             log.mark_done("stage1_term_doc", fp, run_id, wall_ms=int(1000 * (time.time() - t0)))
         # explicit schema: an empty corpus writes no files, which would
         # otherwise fail schema inference
-        td_schema = term_doc_schema(keep_term).add("wave", IntegerType())
+        td_schema = term_doc_schema(keep_term).add(
+            "version", LongType()).add("wave", IntegerType())
         term_doc = spark.read.schema(td_schema).parquet(td_path)
     else:
         term_doc = tokenize_docs(docs, cfg, id_col, text_col, keep_term).withColumn(
@@ -617,7 +622,8 @@ def build_index(
         if len(pdf) > gate:
             stats_df = agg.persist()
             stats_df.where(F.col("kind") == 0).select(
-                F.col("key").alias("doc_id"), F.col("val").alias("doc_len")
+                F.col("key").alias("doc_id"), F.col("val").alias("doc_len"),
+                F.lit(0).cast("long").alias("version"),
             ).write.mode("overwrite").parquet(dl_path)
             stats_df.where(F.col("kind") == 1).select(
                 F.col("key").alias("term_id"), F.col("val").alias("df")
@@ -633,8 +639,11 @@ def build_index(
 
             dl_pd = pdf[pdf["kind"] == 0]
             ts_pd = pdf[pdf["kind"] == 1]
+            import numpy as _np
+
             for p, tbl in (
-                (dl_path, pa.table({"doc_id": dl_pd["key"], "doc_len": dl_pd["val"]})),
+                (dl_path, pa.table({"doc_id": dl_pd["key"], "doc_len": dl_pd["val"],
+                                    "version": _np.zeros(len(dl_pd), dtype=_np.int64)})),
                 (ts_path, pa.table({"term_id": ts_pd["key"], "df": ts_pd["val"]})),
             ):
                 os.makedirs(p, exist_ok=True)

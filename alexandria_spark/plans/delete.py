@@ -26,19 +26,68 @@ def deletes_path(index: Index) -> str:
 
 
 def delete_docs(spark: SparkSession, index: Index, doc_ids) -> None:
-    """Tombstone doc ids (list[int] or a DataFrame with a doc_id column)."""
+    """Tombstone doc ids (list[int] or a DataFrame with a doc_id column).
+
+    The tombstone records the CURRENT ingest version — "delete every
+    version up to and including v" (the reference hash table's versioned
+    remove). A later re-ingest gets a higher version and escapes the
+    tombstone, so delete→re-ingest needs no interposed compact."""
+    from alexandria_spark.plans.versioning import current_version
+
+    v = current_version(index.path)
     if isinstance(doc_ids, DataFrame):
         df = doc_ids.select("doc_id")
     else:
         df = spark.createDataFrame([(int(d),) for d in doc_ids], ["doc_id"])
-    df.write.mode("append").parquet(deletes_path(index))
+    df.withColumn("version", F.lit(v).cast("long")).write.mode(
+        "append").parquet(deletes_path(index))
 
 
-def load_deletes(spark: SparkSession, index: Index) -> DataFrame | None:
+def load_tombstones(spark: SparkSession, index: Index) -> DataFrame | None:
+    """Raw tombstones as (doc_id, del_version), max per doc — the shape the
+    physical paths (compact / doc-store GC) filter rows against. Tombstone
+    files written before versioning read as LEGACY_DELETE_VERSION (hide
+    every version until a compact clears them)."""
+    from alexandria_spark.plans.versioning import LEGACY_DELETE_VERSION
+
     p = deletes_path(index)
     if not os.path.exists(p):
         return None
-    return spark.read.parquet(p).select("doc_id").distinct()
+    df = spark.read.parquet(p)
+    if "version" not in df.columns:
+        df = df.withColumn("version", F.lit(LEGACY_DELETE_VERSION))
+    return df.groupBy("doc_id").agg(
+        F.coalesce(F.max("version"), F.lit(LEGACY_DELETE_VERSION))
+        .alias("del_version")
+    )
+
+
+def load_deletes(spark: SparkSession, index: Index) -> DataFrame | None:
+    """The EFFECTIVE hidden doc set: docs whose current version (per the
+    last-refreshed doc_lengths) is <= their tombstoned version. A doc
+    re-ingested at a higher version AND folded in by a refresh escapes its
+    tombstone; one re-ingested but not yet refreshed stays hidden (its
+    servable postings are still the old content). Returns (doc_id) rows —
+    every serving path anti-joins / sorted-array-drops this set unchanged."""
+    from alexandria_spark.plans.versioning import with_version
+
+    tombs = load_tombstones(spark, index)
+    if tombs is None:
+        return None
+    dl_path = os.path.join(index.path, "doc_lengths")
+    if not os.path.exists(dl_path):
+        return tombs.select("doc_id")
+    # slim two-column scan of doc_lengths joined to the (small) tombstone
+    # set; output is at most the tombstone count
+    dl = with_version(spark.read.parquet(dl_path)).select(
+        "doc_id", F.col("version").alias("cur_version"))
+    eff = (
+        tombs.join(dl, "doc_id", "left")
+        .where(F.col("cur_version").isNull()
+               | (F.col("cur_version") <= F.col("del_version")))
+        .select("doc_id")
+    )
+    return eff
 
 
 # tombstone files up to this size get the broadcast hint; past it (a mass
@@ -78,30 +127,54 @@ def compact(spark: SparkSession, index: Index,
     (gc_doc_store — the reference's hash_table remove,
     /root/reference/tests/test_hash_table.cpp), so a data-retention delete
     leaves no bytes behind anywhere."""
+    from alexandria_spark.plans.versioning import (
+        latest_versions_only,
+        version_span,
+        with_version,
+    )
+
     cfg = cfg or index.config()
     td_path = os.path.join(index.path, "term_doc")
     recover_swap(td_path)  # repair a crash from a previous compact
     if not os.path.exists(td_path):
         raise ValueError("compact requires a materialized stage-1 term_doc table")
-    dels = load_deletes(spark, index)
-    td = spark.read.parquet(td_path).select("doc_id", "term_id", "shard", "tf", "doc_len")
+    dels = load_tombstones(spark, index)
+    td = with_version(spark.read.parquet(td_path)).select(
+        "doc_id", "term_id", "shard", "tf", "doc_len", "version")
+    # physical cleanup is row-level and version-aware: a tombstone at
+    # del_version drops only rows up to that version, so a doc re-ingested
+    # AFTER its delete keeps the new version's postings through the compact
+    # (no more delete→re-ingest→compact data loss); superseded versions of
+    # updated docs are dropped too — compact leaves exactly one live
+    # version per surviving doc
+    if version_span(td) != (0, 0):
+        td = latest_versions_only(td)
     if dels is not None:
         if _deletes_small(index):
             dels = F.broadcast(dels)
-        td = td.join(dels, "doc_id", "left_anti")
-        if doc_store is not None:
-            from alexandria_spark.sources.docstore import gc_doc_store
+        td = td.join(dels, "doc_id", "left").where(
+            F.col("del_version").isNull()
+            | (F.col("version") > F.col("del_version"))
+        ).drop("del_version")
+    if doc_store is not None:
+        from alexandria_spark.sources.docstore import gc_doc_store
 
-            if not gc_doc_store(dels, doc_store, doc_store_buckets):
-                # abort BEFORE the postings rewrite clears the tombstones:
-                # silently proceeding would orphan the deleted payloads with
-                # no surviving record of what to GC (retention violation)
-                raise ValueError(
-                    f"doc_store table {doc_store!r} found in neither the "
-                    f"catalog nor the warehouse — compact aborted with "
-                    f"tombstones retained; check the store name or run "
-                    f"compact without --doc-store"
-                )
+        # GC the paired store even with zero tombstones: an update-only
+        # workload still leaves superseded payload versions behind, and
+        # compact is the op whose contract is "one live version, no dead
+        # bytes, anywhere"
+        tomb = dels if dels is not None else spark.createDataFrame(
+            [], "doc_id long, del_version long")
+        if not gc_doc_store(tomb, doc_store, doc_store_buckets):
+            # abort BEFORE the postings rewrite clears the tombstones:
+            # silently proceeding would orphan the deleted payloads with
+            # no surviving record of what to GC (retention violation)
+            raise ValueError(
+                f"doc_store table {doc_store!r} found in neither the "
+                f"catalog nor the warehouse — compact aborted with "
+                f"tombstones retained; check the store name or run "
+                f"compact without --doc-store"
+            )
     # rewrite term_doc first so future compactions/merges see the new truth;
     # old copy is parked at term_doc_old until the new one is in place, so a
     # crash mid-swap never destroys the only stage-1 source of truth.

@@ -36,17 +36,37 @@ def rebuild_from_term_doc(
     """Finalize an index from a (possibly merged/appended) term_doc stream:
     recompute doc_lengths / term_stats / meta, then re-block every shard.
     Used by merge_indexes and the streaming refresh."""
+    from alexandria_spark.plans.versioning import (
+        latest_versions_only,
+        version_span,
+        with_version,
+    )
+
     os.makedirs(index_path, exist_ok=True)
     idx = Index(index_path)
     log = CheckpointLog(index_path)
     t0 = time.time()
 
-    # duplicate (term, doc) pairs from overlapping sources combine via +=
+    # update semantics (the reference hash table's latest-version-wins,
+    # hash_table.h:42-67): when the stream holds more than one ingest
+    # version, keep only each doc's LATEST version's rows — a re-ingested
+    # doc REPLACES its postings (a term present only in the old version
+    # disappears); the version_span probe skips the extra doc-key pass on
+    # the common append-only/batch case
+    term_doc = with_version(term_doc)
+    vmin, vmax = version_span(term_doc)
+    if vmin != vmax:
+        term_doc = latest_versions_only(term_doc)
+
+    # duplicate (term, doc) pairs from overlapping SAME-version sources
+    # (partial-index merges) still combine via +=
     td = (
         term_doc.groupBy("term_id", "doc_id", "shard")
-        .agg(F.sum("tf").alias("tf"), F.max("doc_len").alias("doc_len"))
+        .agg(F.sum("tf").alias("tf"), F.max("doc_len").alias("doc_len"),
+             F.max("version").alias("version"))
     )
-    dl = td.groupBy("doc_id").agg(F.first("doc_len").alias("doc_len"))
+    dl = td.groupBy("doc_id").agg(F.first("doc_len").alias("doc_len"),
+                                  F.max("version").alias("version"))
     dl.write.mode("overwrite").parquet(os.path.join(index_path, "doc_lengths"))
     ts = td.groupBy("term_id").agg(F.count("*").alias("df"))
     ts.write.mode("overwrite").parquet(os.path.join(index_path, "term_stats"))
@@ -105,11 +125,13 @@ def merge_indexes(
     term-hash shuffle re-co-locates every posting, so the merge is a union +
     re-aggregation, and scores are refreshed from the merged corpus stats.
     """
+    from alexandria_spark.plans.versioning import with_version
+
     cfg = cfg or sources[0].config()
     tds = [
-        spark.read.parquet(os.path.join(s.path, "term_doc")).select(
-            "doc_id", "term_id", "shard", "tf", "doc_len"
-        )
+        with_version(
+            spark.read.parquet(os.path.join(s.path, "term_doc"))
+        ).select("doc_id", "term_id", "shard", "tf", "doc_len", "version")
         for s in sources
     ]
     merged = reduce(lambda a, b: a.unionByName(b), tds)

@@ -110,12 +110,42 @@ def _normalize_orphan(spark: SparkSession, name: str) -> str | None:
     return live
 
 
-def _read_buckets_meta(d: str, fallback: int | None) -> int:
+def _read_buckets_meta(d: str, fallback: int | None) -> int | None:
     try:
         with open(os.path.join(d, _META_FILE)) as fh:
             return int(json.load(fh)["buckets"])
     except (OSError, ValueError, KeyError):
-        return 32 if fallback is None else fallback
+        return fallback
+
+
+def _catalog_buckets(spark: SparkSession, name: str) -> int | None:
+    """The bucket count the CATALOG records for a registered table — the
+    physical truth when the `_ax_store_meta.json` marker is absent (stores
+    created before the marker existed, or a crash between the rename swap
+    and the marker write)."""
+    if not spark.catalog.tableExists(name):
+        return None
+    try:
+        for row in spark.sql(f"DESCRIBE FORMATTED {name}").collect():
+            if row["col_name"].strip() == "Num Buckets":
+                return int(row["data_type"].strip())
+    except Exception:  # noqa: BLE001 — fall through to "unknown"
+        return None
+    return None
+
+
+def store_buckets(spark: SparkSession, name: str,
+                  default: int | None = None) -> int | None:
+    """The store's AUTHORITATIVE bucket count: the recorded meta marker
+    first, then the catalog's own spec, then ``default``. Every write path
+    (append / GC rewrite) must size its bucketBy from this — a caller's
+    default argument silently re-speccing the physical layout is exactly
+    the drift the paired serving plan was sized against."""
+    b = _read_buckets_meta(_warehouse_dir(spark, name), None)
+    if b is not None:
+        return b
+    b = _catalog_buckets(spark, name)
+    return default if b is None else b
 
 
 def _ensure_registered(spark: SparkSession, name: str,
@@ -136,7 +166,13 @@ def _ensure_registered(spark: SparkSession, name: str,
     src_dir = _normalize_orphan(spark, name)
     if src_dir is None:
         return False
-    n_buckets = buckets if buckets is not None else _read_buckets_meta(src_dir, None)
+    # the store's RECORDED bucket count outranks the caller's (often default)
+    # argument during adoption: append_doc_store's buckets=32 adopting an
+    # orphaned 64-bucket store must not silently rewrite it to 32 — the
+    # argument is used only when no meta marker survived
+    n_buckets = _read_buckets_meta(src_dir, buckets)
+    if n_buckets is None:
+        n_buckets = 32
     df = spark.read.parquet(src_dir)
     tmp = f"{name}_adopting"
     _drop_table_and_dir(spark, tmp)
@@ -150,6 +186,60 @@ def _ensure_registered(spark: SparkSession, name: str,
     return True
 
 
+def _gc_lock_path(spark: SparkSession, name: str) -> str:
+    # OUTSIDE the table directory: the GC rewrite renames/drops table dirs,
+    # and the lock must outlive every one of those swaps
+    return _warehouse_dir(spark, f"{name}_gc_lock")
+
+
+def _acquire_gc_lock(spark: SparkSession, name: str) -> str:
+    """Writer-exclusion marker for the GC rewrite window. An append landing
+    after gc_doc_store's refreshTable snapshot but before its rename swap
+    would be silently dropped by the anti-join rewrite — so the append path
+    refuses while this marker exists, failing the streaming microbatch,
+    which the stream's checkpoint then re-delivers after GC (no committed
+    rows lost). Single-host file semantics; a production deployment would
+    take the same lock in the metastore. A stale lock (holder pid dead) is
+    broken automatically."""
+    p = _gc_lock_path(spark, name)
+    _break_stale_gc_lock(p)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"pid": os.getpid(), "op": "gc"}, fh)
+    return p
+
+
+def _break_stale_gc_lock(p: str) -> None:
+    """Remove a lock whose holder process no longer exists (a GC torn down
+    by SIGKILL — a plain exception releases via finally). The holder's own
+    pid counts as live: within one driver process the lock is held exactly
+    for the synchronous gc_doc_store call."""
+    try:
+        with open(p) as fh:
+            pid = int(json.load(fh).get("pid", 0))
+    except OSError:
+        return  # no lock
+    except (ValueError, KeyError):
+        os.remove(p)  # unreadable marker: treat as stale
+        return
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+    except PermissionError:
+        pass  # pid exists under another uid: live
+
+
+def gc_in_progress(spark: SparkSession, name: str = "ax_doc_store") -> bool:
+    p = _gc_lock_path(spark, name)
+    _break_stale_gc_lock(p)
+    return os.path.exists(p)
+
+
 def drop_doc_store(spark: SparkSession, name: str = "ax_doc_store") -> None:
     """Remove the store COMPLETELY: the table, its live directory, and
     every recovery remnant adoption would otherwise resurrect (`_old`,
@@ -158,6 +248,10 @@ def drop_doc_store(spark: SparkSession, name: str = "ax_doc_store") -> None:
     for cand in (name, f"{name}_old", f"{name}_adopting", f"{name}_compacting",
                  f"{name}_trash"):
         _drop_table_and_dir(spark, cand)
+    try:
+        os.remove(_gc_lock_path(spark, name))
+    except OSError:
+        pass
 
 
 def save_doc_store(docs: DataFrame, name: str = "ax_doc_store",
@@ -181,11 +275,34 @@ def append_doc_store(docs: DataFrame, name: str = "ax_doc_store",
     Exactly-once to the same degree as the postings append: the stream's
     checkpoint prevents re-ingesting a finished batch."""
     spark = docs.sparkSession
+    if gc_in_progress(spark, name):
+        # a GC rewrite is mid-flight: an append now would land after its
+        # refreshTable snapshot and be silently dropped by the anti-join
+        # rewrite. Raising fails the caller's microbatch, whose checkpoint
+        # re-delivers the batch after the GC window closes.
+        raise RuntimeError(
+            f"doc store {name!r} is being garbage-collected "
+            f"({_gc_lock_path(spark, name)}); retry the append after GC "
+            f"completes"
+        )
     if not _ensure_registered(spark, name, buckets):
         save_doc_store(docs, name, buckets)
         return
+    # align to the TABLE's schema: a versioned ingest appending to a store
+    # created before the version column existed drops the column (that
+    # store keeps its legacy no-update semantics) rather than failing the
+    # microbatch; a version-less append into a versioned store lands as
+    # version 0
+    table_cols = [f.name for f in spark.table(name).schema]
+    if "version" in table_cols and "version" not in docs.columns:
+        docs = docs.withColumn("version", F.lit(0).cast("long"))
+    docs = docs.select(*table_cols)
+    # append with the store's AUTHORITATIVE bucket count (meta marker, then
+    # catalog spec) — the caller's default argument must not re-spec an
+    # existing store's physical layout
+    n_buckets = store_buckets(spark, name, default=buckets)
     (
-        docs.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+        docs.write.bucketBy(n_buckets, "doc_id").sortBy("doc_id")
         .mode("append").format("parquet").saveAsTable(name)
     )
 
@@ -211,51 +328,109 @@ def gc_doc_store(tombstones: DataFrame, name: str = "ax_doc_store",
     or new session), never deleted-but-unreplaced. Returns False if the
     store exists in neither the catalog nor the warehouse.
 
+    Writer exclusion: the whole rewrite runs under a GC lock marker that
+    ``append_doc_store`` checks — an append landing after the refreshTable
+    snapshot below but before the rename swap would otherwise be silently
+    dropped by the rewrite. The failed microbatch is re-delivered by the
+    stream's checkpoint once the lock clears (maintenance-window rule,
+    ENFORCED rather than documented).
+
     Retention beats reader grace here BY DESIGN: the old files (which still
     hold the tombstoned bytes) are dropped immediately, so a session pinned
     to the pre-GC listing fails fast on its next action and must re-load —
     the same maintenance-window semantics as the reference's hash_table
     remove. Run GC when the paired index compacts, not mid-serve."""
     spark = tombstones.sparkSession
-    registered = spark.catalog.tableExists(name)
-    if not registered and spark.catalog.tableExists(f"{name}_old"):
-        # in-catalog crash recovery: the parked old table is the truth
-        spark.sql(f"ALTER TABLE {name}_old RENAME TO {name}")
-        registered = True
-    if registered:
-        # GC must see the store's TRUE current state, not this session's
-        # pinned listing (a streaming append since the last load would
-        # otherwise be dropped by the rewrite)
-        spark.catalog.refreshTable(name)
-        src = spark.table(name)
+    lock = _acquire_gc_lock(spark, name)
+    try:
+        registered = spark.catalog.tableExists(name)
+        if not registered and spark.catalog.tableExists(f"{name}_old"):
+            # in-catalog crash recovery: the parked old table is the truth
+            spark.sql(f"ALTER TABLE {name}_old RENAME TO {name}")
+            registered = True
+        if registered:
+            # GC must see the store's TRUE current state, not this session's
+            # pinned listing (a streaming append since the last load would
+            # otherwise be dropped by the rewrite)
+            spark.catalog.refreshTable(name)
+            src = spark.table(name)
+        else:
+            # catalog amnesia: read the orphaned directory DIRECTLY as the
+            # rewrite source — the input's bucketing is irrelevant to the
+            # rewrite, so no adoption pre-pass (which would rewrite the whole
+            # store a second time just to re-attach catalog metadata)
+            src_dir = _normalize_orphan(spark, name)
+            if src_dir is None:
+                return False
+            src = spark.read.parquet(src_dir)
+        if buckets is None:
+            # the store's own recorded count, else the catalog's spec; a GC
+            # must NEVER fall back to a hard-coded default — silently
+            # rebucketing the store is the drift this function's contract
+            # forbids, and the still-running ingest's next bucketBy(original)
+            # append would fail its microbatch against the re-specced table
+            buckets = store_buckets(spark, name, default=None)
+            if buckets is None:
+                raise ValueError(
+                    f"doc store {name!r} has no recorded bucket count "
+                    f"({_META_FILE} missing and the catalog records none) — "
+                    f"pass buckets= explicitly to GC this store"
+                )
+        kept = _gc_survivors(src, tombstones)
+        tmp = f"{name}_compacting"
+        _drop_table_and_dir(spark, tmp)
+        (
+            kept.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+            .mode("overwrite").format("parquet").saveAsTable(tmp)
+        )
+        _drop_table_and_dir(spark, f"{name}_old")
+        if registered:
+            spark.sql(f"ALTER TABLE {name} RENAME TO {name}_old")
+            spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
+            spark.sql(f"DROP TABLE {name}_old")
+        else:
+            _retire_dir(spark, name, _warehouse_dir(spark, name))
+            spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
+        _write_meta(spark, name, buckets)
+        return True
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
+
+
+def _gc_survivors(src: DataFrame, tombstones: DataFrame) -> DataFrame:
+    """The rows a GC rewrite keeps. Version-aware when the store carries a
+    version column (streaming-ingested stores): a tombstone at del_version
+    drops only payload rows up to that version — a doc re-ingested after
+    its delete survives — and superseded versions of updated docs are
+    dropped too, leaving exactly one live row per doc (the reference hash
+    table's latest-version-wins remove, hash_table.h:42-67). The window
+    partitions by doc_id, which the bucketed scan already clusters — no
+    extra Exchange. Version-less (legacy) stores keep the plain anti-join."""
+    if "version" not in src.columns:
+        return src.join(tombstones.select("doc_id"), "doc_id", "left_anti")
+    from pyspark.sql.window import Window
+
+    from alexandria_spark.plans.versioning import LEGACY_DELETE_VERSION
+
+    t = tombstones
+    if "del_version" not in t.columns:
+        t = t.select("doc_id").withColumn(
+            "del_version", F.lit(LEGACY_DELETE_VERSION))
     else:
-        # catalog amnesia: read the orphaned directory DIRECTLY as the
-        # rewrite source — the input's bucketing is irrelevant to the
-        # rewrite, so no adoption pre-pass (which would rewrite the whole
-        # store a second time just to re-attach catalog metadata)
-        src_dir = _normalize_orphan(spark, name)
-        if src_dir is None:
-            return False
-        src = spark.read.parquet(src_dir)
-    if buckets is None:
-        buckets = _read_buckets_meta(_warehouse_dir(spark, name), None)
-    kept = src.join(tombstones.select("doc_id"), "doc_id", "left_anti")
-    tmp = f"{name}_compacting"
-    _drop_table_and_dir(spark, tmp)
-    (
-        kept.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
-        .mode("overwrite").format("parquet").saveAsTable(tmp)
+        t = t.select("doc_id", "del_version")
+    src = src.withColumn("version", F.coalesce(F.col("version"), F.lit(0)))
+    kept = src.join(t, "doc_id", "left").where(
+        F.col("del_version").isNull()
+        | (F.col("version") > F.col("del_version"))
+    ).drop("del_version")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("version"))
+    return (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1).drop("_rn")
     )
-    _drop_table_and_dir(spark, f"{name}_old")
-    if registered:
-        spark.sql(f"ALTER TABLE {name} RENAME TO {name}_old")
-        spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
-        spark.sql(f"DROP TABLE {name}_old")
-    else:
-        _retire_dir(spark, name, _warehouse_dir(spark, name))
-        spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
-    _write_meta(spark, name, buckets)
-    return True
 
 
 def load_doc_store(spark: SparkSession, name: str = "ax_doc_store") -> DataFrame:
@@ -280,7 +455,15 @@ def decorate_from_store(results: DataFrame, store: DataFrame,
                         snippet_len: int = 140) -> DataFrame:
     """Join results with the bucketed store and attach a snippet. With a
     bucketed store the join plan shuffles ONLY the (tiny) results side —
-    assert via test_plans: no Exchange above the store scan."""
+    assert via test_plans: no Exchange above the store scan.
+
+    A VERSIONED store (streaming-ingested) may hold several versions of an
+    updated doc until the next GC; decoration serves the latest — the
+    max_by runs on the bucketed doc_id clustering, so the store side still
+    takes no Exchange."""
+    if "version" in store.columns:
+        store = store.groupBy("doc_id").agg(
+            F.expr("max_by(text, version)").alias("text"))
     return results.join(
         store.select("doc_id", F.substring("text", 1, snippet_len).alias("snippet")),
         "doc_id",

@@ -53,10 +53,19 @@ def ingest_stream(
     stream = reader.parquet(input_path)
 
     def handle(batch_df, batch_id: int) -> None:
+        from alexandria_spark.plans.versioning import next_version
+
+        # monotonic ingest version (NOT the stream's batch_id, which restarts
+        # per checkpoint): latest-version-wins makes a re-ingested doc an
+        # UPDATE — refresh_index keeps only its newest postings, the doc
+        # store serves its newest payload, and a microbatch retry's
+        # duplicate rows resolve against the retry's higher version
+        version = next_version(index_path)
         tok = tokenize_docs(batch_df, cfg, id_col, text_col).persist()
         try:
             (
-                tok.withColumn(
+                tok.withColumn("version", F.lit(version).cast("long"))
+                .withColumn(
                     "wave", F.pmod(F.col("shard"), F.lit(cfg.build_waves))
                 )
                 .write.mode("append").partitionBy("wave").parquet(td_path)
@@ -71,7 +80,9 @@ def ingest_stream(
             if doc_store is not None:
                 from alexandria_spark.sources.docstore import append_doc_store
 
-                append_doc_store(batch_df, doc_store, doc_store_buckets)
+                append_doc_store(
+                    batch_df.withColumn("version", F.lit(version).cast("long")),
+                    doc_store, doc_store_buckets)
         finally:
             tok.unpersist()
         from alexandria_spark.plans.snapshots import commit_snapshot
@@ -215,30 +226,48 @@ def refresh_index(spark: SparkSession, index_path: str,
     meta = idx.meta()
     n_docs, avg_dl = int(meta["n_docs"]), float(meta["avg_dl"])
 
+    from alexandria_spark.plans.versioning import with_version
+
     dl_path = os.path.join(index_path, "doc_lengths")
-    existing_ids = spark.read.parquet(dl_path).select("doc_id")
+    existing = with_version(spark.read.parquet(dl_path)).select(
+        "doc_id", F.col("version").alias("cur_version"))
 
     # duplicate (term, doc) pairs across appends combine via += ; the filter
     # is pushed into the parquet scan (shard is a leading stats column)
     td = (
-        spark.read.parquet(td_path)
+        with_version(spark.read.parquet(td_path))
         .where(F.col("shard").isin(shards))
         .groupBy("term_id", "doc_id", "shard")
-        .agg(F.sum("tf").alias("tf"), F.max("doc_len").alias("doc_len"))
+        .agg(F.sum("tf").alias("tf"), F.max("doc_len").alias("doc_len"),
+             F.max("version").alias("version"))
     )
+    # one left join decides BOTH gates below: which incoming docs are new
+    # (staleness meter / doc_lengths append) and whether any existing doc
+    # arrived at a higher version (an UPDATE)
+    doc_vers = td.groupBy("doc_id").agg(
+        F.first("doc_len").alias("doc_len"), F.max("version").alias("version")
+    ).join(existing, "doc_id", "left").persist()
+    # UPDATE gate: an updated doc's OLD version may hold terms in shards
+    # these appends never touched — their stale postings are unreachable
+    # from a shard-local re-block, so updates always escalate to a full
+    # refresh (which resolves latest-version-wins globally). The reference
+    # pays the same shape: its delta merge handles appends; versioned
+    # replacement resolves at full-merge/read time (hash_table.h:42-67).
+    updated = doc_vers.where(
+        F.col("cur_version").isNotNull()
+        & (F.col("version") > F.col("cur_version"))).count()
+    if updated:
+        doc_vers.unpersist()
+        return refresh_index(spark, index_path, cfg, mode="full")
     # staleness gate: the NEW docs these appends bring decide whether the
-    # partial path is still allowed. new_dl is the same frame the
-    # doc_lengths append writes below — computed ONCE (persisted) so the
-    # gate's count and the append share one anti-join job.
-    new_dl = (
-        td.groupBy("doc_id").agg(F.first("doc_len").alias("doc_len"))
-        .join(existing_ids, "doc_id", "left_anti")
-        .persist()
-    )
+    # partial path is still allowed. new_dl is the same persisted frame the
+    # doc_lengths append writes below.
+    new_dl = doc_vers.where(F.col("cur_version").isNull()).select(
+        "doc_id", "doc_len", "version")
     incoming_new = new_dl.count()
     since = staleness(index_path)["docs_since_full"] + incoming_new
     if n_docs > 0 and since / n_docs > cfg.max_stale_doc_ratio:
-        new_dl.unpersist()
+        doc_vers.unpersist()
         return refresh_index(spark, index_path, cfg, mode="full")
 
     hot_df = {
@@ -261,12 +290,12 @@ def refresh_index(spark: SparkSession, index_path: str,
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-    # doc_lengths: append rows for docs the touched shards introduced (the
-    # streaming contract is append-only new docs; a doc's full token set
-    # lands in the same batch, so its doc_len is complete here). new_dl is
-    # the persisted frame the staleness gate already counted.
+    # doc_lengths: append rows (with their ingest version) for docs the
+    # touched shards introduced — updates never reach this line (they
+    # escalated above), so these are all genuinely new docs whose full
+    # token set landed in one batch.
     new_dl.write.mode("append").parquet(dl_path)
-    new_dl.unpersist()
+    doc_vers.unpersist()
     # keep the derived impact table in lockstep with the touched shards
     # (terms are hash-sharded identically in both tables, so only those
     # shard partitions are re-derived)

@@ -741,20 +741,48 @@ SQL_CORPUS_DOC_LENGTHS = SQL_PRELUDE + (
 
 
 def q_term_counts_modes(spark, sf_dir):
-    """Base + blend-expanded tokenization in one relation."""
+    """Base + blend-expanded + UPDATE-resolved tokenization in one relation.
+
+    The 'updated' variant gates latest-version-wins (plans/versioning,
+    the reference hash table's update semantics, hash_table.h:42-67):
+    every doc_id divisible by 10 is re-ingested at version 1 with new
+    text; the resolved corpus must tokenize the NEW text for those docs
+    (old-version terms gone) and the unchanged text for the rest."""
+    from alexandria_spark.plans.versioning import latest_versions_only
+
     base = q_term_counts(spark, sf_dir)
     exp = q_expanded_term_counts(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    v0 = docs.select("doc_id", "text").withColumn(
+        "version", F.lit(0).cast("long"))
+    v1 = docs.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.concat(F.lit("updated v2 "), F.substring("text", 1, 40)).alias("text"),
+    ).withColumn("version", F.lit(1).cast("long"))
+    eff = latest_versions_only(v0.unionByName(v1)).drop("version")
+    upd = doc_term_counts(eff, CFG).select("doc_id", "term", "tf")
     return (
         base.select(F.lit("base").alias("variant"), "doc_id", "term", "tf")
         .unionByName(
             exp.select(F.lit("expanded").alias("variant"), "doc_id", "term", "tf"))
+        .unionByName(
+            upd.select(F.lit("updated").alias("variant"), "doc_id", "term", "tf"))
     )
 
+
+SQL_TERM_COUNTS_UPDATED = SQL_PRELUDE.replace(
+    "FROM documents",
+    "FROM (SELECT doc_id, source, lang, CASE WHEN doc_id % 10 = 0 THEN "
+    "'updated v2 ' || substr(text, 1, 40) ELSE text END AS text "
+    "FROM documents)",
+) + "SELECT doc_id, term, tf FROM tf"
 
 SQL_TERM_COUNTS_MODES = (
     f"SELECT 'base' AS variant, doc_id, term, tf FROM ({SQL_TERM_COUNTS})"
     f" UNION ALL "
     f"SELECT 'expanded', doc_id, term, tf FROM ({SQL_EXPANDED_TERM_COUNTS})"
+    f" UNION ALL "
+    f"SELECT 'updated', doc_id, term, tf FROM ({SQL_TERM_COUNTS_UPDATED})"
 )
 
 

@@ -156,3 +156,140 @@ def test_full_maintenance_lifecycle(spark, tmp_path):
         _rank_equiv(r5[(q, mode)], exp, (q, mode, "clean-rebuild"))
         for (_, gs), (_, es) in zip(r5[(q, mode)], exp):
             assert abs(gs - es) <= 1e-9 * max(1.0, abs(es)), (q, mode)
+
+
+def _manual_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _hits(spark, idx_path, q, mode="or", k=10):
+    return [r.doc_id for r in
+            search(spark, Index(idx_path), q, mode, k=k, cfg=CFG).collect()]
+
+
+def _engine_hits(spark, idx_path, q, k=10):
+    """doc ids for an OR query through every engine (dist/bmw/local/
+    docpart/impact) — the update contract is 'every engine serves only the
+    new content'."""
+    idx = Index(idx_path)
+    out = {"dist": _hits(spark, idx_path, q)}
+    out["bmw"] = [d for d, _ in search_bmw(spark, idx, q, "or", k, CFG)]
+    out["local"] = [d for d, _ in LocalIndex(spark, idx, CFG).search(q, "or", k)]
+    dpe = DocPartEngine(spark, DocPartitionedIndex(idx_path), CFG)
+    ie = ImpactEngine(spark, idx, CFG)
+    try:
+        out["docpart"] = [r.doc_id for r in dpe.search(q, "or", k).collect()]
+        out["impact"] = [d for d, _ in ie.or_topk(q, k)]
+    finally:
+        dpe.unpersist()
+        ie.unpersist()
+    return out
+
+
+def test_update_and_delete_reingest_lifecycle(spark, tmp_path):
+    """Document UPDATE semantics (the reference hash table's
+    latest-version-wins, /root/reference/src/hash_table2/hash_table.h:42-67,
+    versioning cases in /root/reference/tests/test_hash_table.cpp):
+
+    * re-ingesting an existing doc_id REPLACES its postings — a term
+      present only in the old version disappears from every engine;
+    * delete → re-ingest works WITHOUT an interposed compact (the
+      tombstone carries the version it deletes; the re-ingest's higher
+      version escapes it);
+    * compact physically drops tombstoned AND superseded rows from both
+      term_doc and the paired doc store — one live version per doc;
+    * the end state converges to a from-scratch build of the final corpus.
+    """
+    import os as _os
+
+    from alexandria_spark.sources.docstore import (
+        drop_doc_store,
+        load_doc_store,
+    )
+
+    in_dir = str(tmp_path / "incoming")
+    idx_path = str(tmp_path / "idx")
+    store = "ax_update_store"
+    drop_doc_store(spark, store)
+
+    v1 = [(i, f"common shared kw{i} oldmark{i} filler text body {i % 5}")
+          for i in range(1, 31)]
+    _manual_docs(spark, v1).coalesce(1).write.mode("append").parquet(in_dir)
+    schema = _manual_docs(spark, v1).schema
+    ingest_stream(spark, in_dir, idx_path, schema, CFG, doc_store=store)
+    refresh_index(spark, idx_path, CFG, mode="full")
+    idx = Index(idx_path)
+    build_impact_postings(spark, idx, CFG)
+    rebuild_docpart_from_postings(spark, idx_path, CFG)
+    assert _hits(spark, idx_path, "oldmark5") == [5]
+
+    # ---- UPDATE docs 5 and 6 (re-ingest same ids, new content) ----------
+    v2 = [(5, "common shared kw5 newmark5 replaced body"),
+          (6, "common shared kw6 newmark6 replaced body")]
+    _manual_docs(spark, v2).coalesce(1).write.mode("append").parquet(in_dir)
+    ingest_stream(spark, in_dir, idx_path, schema, CFG, doc_store=store)
+    # partial refresh detects the update and escalates to full internally
+    refresh_index(spark, idx_path, CFG, mode="partial")
+    for q, want in (("oldmark5", []), ("newmark5", [5]),
+                    ("oldmark6", []), ("newmark6", [6]),
+                    ("oldmark9", [9])):
+        got = _engine_hits(spark, idx_path, q)
+        assert all(ids == want for ids in got.values()), (q, want, got)
+    # the store serves the NEW payload even before any GC
+    from alexandria_spark.sources.docstore import decorate_from_store
+
+    served = decorate_from_store(
+        search(spark, Index(idx_path), "newmark5", "or", k=5, cfg=CFG),
+        load_doc_store(spark, store)).collect()
+    assert len(served) == 1 and "newmark5" in served[0].snippet
+
+    # ---- DELETE doc 7, verify hidden, then RE-INGEST it (no compact) ----
+    idx = Index(idx_path)
+    delete_docs(spark, idx, [7])
+    assert _hits(spark, idx_path, "oldmark7") == []
+    v3 = [(7, "common shared kw7 newmark7 risen body")]
+    _manual_docs(spark, v3).coalesce(1).write.mode("append").parquet(in_dir)
+    ingest_stream(spark, in_dir, idx_path, schema, CFG, doc_store=store)
+    refresh_index(spark, idx_path, CFG, mode="partial")
+    got = _engine_hits(spark, idx_path, "newmark7")
+    assert all(ids == [7] for ids in got.values()), got
+    assert _hits(spark, idx_path, "oldmark7") == []
+
+    # ---- DELETE doc 8 (stays dead) and COMPACT with the paired store ----
+    delete_docs(spark, Index(idx_path), [8])
+    assert _hits(spark, idx_path, "oldmark8") == []
+    compact(spark, Index(idx_path), CFG, doc_store=store)
+    assert not _os.path.exists(_os.path.join(idx_path, "deletes"))
+    st = load_doc_store(spark, store)
+    # one live row per doc: 30 - 1 dead (doc 8); updates deduped to latest
+    assert st.count() == 29
+    assert st.groupBy("doc_id").count().where(F.col("count") > 1).count() == 0
+    texts = {r.doc_id: r.text for r in st.collect()}
+    assert "newmark5" in texts[5] and "newmark7" in texts[7]
+    assert 8 not in texts
+    # term_doc physically holds one version per doc, tombstoned rows gone
+    td = spark.read.parquet(_os.path.join(idx_path, "term_doc"))
+    assert td.where(F.col("doc_id") == 8).count() == 0
+    assert (td.groupBy("doc_id").agg(
+        F.countDistinct("version").alias("nv"))
+        .where(F.col("nv") > 1).count()) == 0
+    for q, want in (("newmark5", [5]), ("oldmark5", []), ("newmark7", [7]),
+                    ("oldmark8", []), ("oldmark9", [9])):
+        got = _engine_hits(spark, idx_path, q)
+        assert all(ids == want for ids in got.values()), (q, want, got)
+
+    # ---- convergence: from-scratch build over the final logical corpus --
+    final = {i: t for i, t in v1}
+    final.update({i: t for i, t in v2})
+    final.update({i: t for i, t in v3})
+    del final[8]
+    clean = build_index(spark, _manual_docs(spark, sorted(final.items())),
+                        str(tmp_path / "clean"), CFG)
+    for q, mode in (("common shared", "and"), ("kw5 kw9", "or")):
+        exp = [(r.doc_id, float(r.score)) for r in
+               search(spark, clean, q, mode, k=10, cfg=CFG).collect()]
+        got = [(r.doc_id, float(r.score)) for r in
+               search(spark, Index(idx_path), q, mode, k=10, cfg=CFG).collect()]
+        _rank_equiv(got, exp, (q, mode, "clean-rebuild"))
+        for (_, gs), (_, es) in zip(got, exp):
+            assert abs(gs - es) <= 1e-9 * max(1.0, abs(es)), (q, mode)

@@ -445,6 +445,121 @@ def test_gc_doc_store_adopts_cross_session_crash_remnant(spark):
     assert store.where(F.col("doc_id") < 5).count() == 0
 
 
+def test_append_refused_during_gc_lock_and_stale_lock_broken(spark):
+    """Writer exclusion for the GC rewrite window: an append while the GC
+    lock marker exists must FAIL (the stream checkpoint re-delivers the
+    batch after GC) instead of being silently dropped by the anti-join
+    rewrite; a lock whose holder pid is dead is broken automatically."""
+    import json as _json
+    import os
+
+    from alexandria_spark.sources.docstore import (
+        _acquire_gc_lock,
+        _gc_lock_path,
+        append_doc_store,
+        drop_doc_store,
+        gc_in_progress,
+        load_doc_store,
+        save_doc_store,
+    )
+
+    name = "ax_store_gclock"
+    drop_doc_store(spark, name)
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    )
+    save_doc_store(docs, name, buckets=4)
+
+    lock = _acquire_gc_lock(spark, name)  # held by THIS (live) pid
+    more = spark.range(50, 60).select(
+        F.col("id").alias("doc_id"), F.lit("new").alias("text"))
+    with pytest.raises(RuntimeError, match="garbage-collected"):
+        append_doc_store(more, name, buckets=4)
+    os.remove(lock)
+
+    # stale lock: holder pid no longer exists -> broken, append proceeds
+    with open(_gc_lock_path(spark, name), "w") as fh:
+        _json.dump({"pid": 2 ** 22 + 77, "op": "gc"}, fh)  # beyond pid_max
+    assert not gc_in_progress(spark, name)
+    append_doc_store(more, name, buckets=4)
+    assert load_doc_store(spark, name).count() == 60
+    drop_doc_store(spark, name)
+
+
+def test_gc_without_meta_reads_catalog_spec(spark):
+    """A store created before the meta marker existed (or whose marker was
+    lost in a crash window) must GC with the CATALOG's recorded bucket
+    count — never a hard-coded default that silently rebuckets the store."""
+    import os
+
+    from alexandria_spark.sources.docstore import (
+        _catalog_buckets,
+        _read_buckets_meta,
+        _warehouse_dir,
+        append_doc_store,
+        drop_doc_store,
+        gc_doc_store,
+        load_doc_store,
+        save_doc_store,
+    )
+
+    name = "ax_store_nometa"
+    drop_doc_store(spark, name)
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    )
+    save_doc_store(docs, name, buckets=4)
+    os.remove(os.path.join(_warehouse_dir(spark, name), "_ax_store_meta.json"))
+    assert _catalog_buckets(spark, name) == 4
+
+    tombs = spark.range(5).select(F.col("id").alias("doc_id"))
+    assert gc_doc_store(tombs, name)  # no bucket argument, no meta marker
+    # spec preserved (from the catalog) and re-recorded in fresh meta
+    assert _read_buckets_meta(_warehouse_dir(spark, name), None) == 4
+    append_doc_store(  # ingest's original-spec append still works post-GC
+        spark.range(100, 105).select(
+            F.col("id").alias("doc_id"), F.lit("new").alias("text")),
+        name, buckets=4)
+    assert load_doc_store(spark, name).count() == 100
+    drop_doc_store(spark, name)
+
+
+def test_adoption_prefers_recorded_meta_over_caller_buckets(spark):
+    """append_doc_store's DEFAULT buckets argument adopting an orphaned
+    store must not rewrite the store's recorded spec: the recorded meta
+    outranks the caller's argument during adoption, and the post-adoption
+    append itself sizes bucketBy from the store's authoritative count."""
+    from alexandria_spark.sources.docstore import (
+        _read_buckets_meta,
+        _warehouse_dir,
+        append_doc_store,
+        drop_doc_store,
+        load_doc_store,
+        save_doc_store,
+        store_buckets,
+    )
+
+    name = "ax_store_adopt_spec"
+    drop_doc_store(spark, name)
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    )
+    save_doc_store(docs, name, buckets=16)
+    _orphan_store(spark, name)
+    assert not spark.catalog.tableExists(name)
+
+    more = spark.range(60, 70).select(
+        F.col("id").alias("doc_id"), F.lit("new").alias("text"))
+    append_doc_store(more, name)  # default buckets=32 must NOT re-spec
+    assert _read_buckets_meta(_warehouse_dir(spark, name), None) == 16
+    assert store_buckets(spark, name) == 16
+    assert load_doc_store(spark, name).count() == 70
+    drop_doc_store(spark, name)
+
+
 def test_compact_aborts_when_doc_store_missing(spark, tmp_path):
     """compact(doc_store=...) with a name that exists nowhere must raise
     BEFORE clearing the tombstones — silently proceeding would orphan the

@@ -96,8 +96,83 @@ def test_multimodal_features(spark, docs):
     assert by_id[1] != by_id[4]
     v = _fake_feature_vec(b"abc")
     assert np.all((v >= 0) & (v <= 1))
-    with pytest.raises(NotImplementedError):
+    # a truncated/garbage payload raises loudly, it never half-decodes
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG")
+
+
+def test_image_codec_roundtrip_and_filters():
+    """Real PNG/PPM codec: encode→decode is identity; the decoder reverses
+    ALL five scanline filter types (PNG spec §9) against hand-filtered
+    chunks; CRC corruption and unsupported parameters raise."""
+    import struct
+    import zlib
+
+    from alexandria_spark.operators.multimodal import (
+        encode_png,
+        encode_ppm,
+        synth_image,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape in [(8, 8, 3), (11, 15, 3), (1, 1, 3), (5, 9, 1)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(decode_image(encode_png(img)), img)
+    rgb = rng.integers(0, 256, (6, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_ppm(rgb)), rgb)
+
+    def png_with_filters(img, filters):
+        h, w, c = img.shape
+        raw = bytearray()
+        prev = np.zeros(w * c, np.int32)
+        for r, f in zip(range(h), filters):
+            line = img[r].reshape(-1).astype(np.int32)
+            enc = line.copy()
+            if f == 1:
+                for i in range(w * c - 1, c - 1, -1):
+                    enc[i] = (enc[i] - line[i - c]) & 255
+            elif f == 2:
+                enc = (line - prev) & 255
+            elif f == 3:
+                for i in range(w * c):
+                    a = line[i - c] if i >= c else 0
+                    enc[i] = (enc[i] - ((a + prev[i]) >> 1)) & 255
+            elif f == 4:
+                for i in range(w * c):
+                    a = line[i - c] if i >= c else 0
+                    b = prev[i]
+                    cc = prev[i - c] if i >= c else 0
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                    enc[i] = (enc[i] - pred) & 255
+            raw += bytes([f]) + bytes(enc.astype(np.uint8))
+            prev = line
+
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if c == 3 else 0, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+    img = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(png_with_filters(img, [0, 1, 2, 3, 4])), img)
+
+    bad = bytearray(encode_png(img))
+    bad[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_image(bytes(bad))
+
+    # synth corpus images decode to the closed-form dimensions/stats the
+    # SQL oracle computes (incl. int64 sign edges)
+    for d in [0, 5, -17, 2**63 - 1, -(2**63)]:
+        im = synth_image(d)
+        w, h = 8 + (d & 7), 8 + ((d >> 3) & 3)
+        assert im.shape == (h, w, 3)
+        out = decode_image(encode_png(im))
+        assert np.array_equal(out, im)
 
 
 def test_ann_bucket_contains_exact_neighbors(spark):

@@ -142,6 +142,8 @@ def _query_term_ids(query: str, mode: str, cfg: EngineConfig) -> list[int]:
             raise ValueError(
                 f"phrase of {len(words)} words needs an index built with "
                 f"n_grams >= {len(words)} (this index: n_grams={cfg.n_grams})"
+                f" — or pass docs= to search() for the two-stage "
+                f"candidate+verify path (search_phrase_long)"
             )
         return [i64_hash64(" ".join(words))] if words else []
     return [
@@ -161,6 +163,8 @@ def search(
     cfg: EngineConfig | None = None,
     prune: bool = True,
     _blocks: DataFrame | None = None,
+    docs: DataFrame | None = None,
+    _term_ids: list[int] | None = None,
 ) -> DataFrame:
     """Top-k BM25 search. Returns DataFrame (doc_id, score, n_terms) ordered
     score desc, unsigned doc_id asc, limited to k. Modes: and | or | phrase.
@@ -168,9 +172,25 @@ def search(
     ``k=None`` returns the FULL (unordered) match set — the shape the
     composed serve pipeline needs, where boosts are applied before any
     truncation (the reference collects all intersection results and only
-    nth_elements them at pre_result_limit, index_manager.cpp:279-288)."""
+    nth_elements them at pre_result_limit, index_manager.cpp:279-288).
+
+    ``docs`` (a (doc_id, text) frame — the raw corpus or doc store) enables
+    exact phrases LONGER than the index's ``n_grams``: the reference keys
+    the whole query as one n-gram (search_engine.h:474-490), so a W-word
+    phrase against an n_grams<W index has no persisted key. With ``docs``
+    the query runs two-stage — bigram-AND candidates, then a positional
+    verify over the candidates only (see search_phrase_long); without it
+    the historical ValueError stands."""
     cfg = cfg or index.config()
-    term_ids = _query_term_ids(query, mode, cfg)
+    if _term_ids is not None:
+        term_ids = _term_ids
+    elif mode == "phrase" and docs is not None:
+        words = tokenize(query, limit=cfg.query_max_words)
+        if len(words) > cfg.n_grams:
+            return search_phrase_long(spark, index, words, docs, k, cfg)
+        term_ids = _query_term_ids(query, mode, cfg)
+    else:
+        term_ids = _query_term_ids(query, mode, cfg)
     if not term_ids:
         return spark.createDataFrame([], RESULT_SCHEMA)
     shards = sorted({_shard_of(t, cfg.num_shards) for t in term_ids})
@@ -214,6 +234,83 @@ def search(
     from alexandria_spark.plans.delete import filter_deleted
 
     live = filter_deleted(spark, index, agg)
+    return live if k is None else top_k(live, k)
+
+
+def search_phrase_long(
+    spark: SparkSession,
+    index: Index,
+    words: list[str],
+    docs: DataFrame,
+    k: int | None,
+    cfg: EngineConfig,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase of ANY length over an n_grams>=2 index, two-stage:
+
+    1. candidates — AND-intersect the phrase's consecutive-bigram keys
+       through the persisted block index (shard-pruned, the existing
+       conjunctive machinery). Phrase present ⇒ every bigram present, so
+       recall is exact; bigram adjacency chains overmatch, hence:
+    2. verify — re-tokenize ONLY the candidate docs with query-length
+       n-grams (the same tokenizer the build uses) and keep docs whose
+       streams contain the full-phrase key; tf = the exact phrase count.
+
+    Scores equal a hypothetical index built with n_grams=len(words)
+    bit-for-bit: tf/doc_len come from the same tokenizer, df is the
+    verified phrase doc frequency, and n_docs/avg_dl come from the index's
+    unigram doc_lengths (which an n_grams=W build shares — doc_len stays
+    the unigram count). This is the scale answer to the reference's
+    whole-query n-gram key (search_engine.h:474-490) without indexing
+    every W-gram: candidate verify touches a bigram-AND-sized doc set in
+    one distributed pass."""
+    from alexandria_spark.plans.build import bm25_score_col, tokenize_docs
+
+    if len(words) < 2:
+        raise ValueError("search_phrase_long needs a 2+-word phrase")
+    if cfg.n_grams < 2:
+        raise ValueError(
+            f"phrase of {len(words)} words needs an index built with "
+            f"n_grams >= 2 for the candidate stage (this index: "
+            f"n_grams={cfg.n_grams})"
+        )
+    keys = list(dict.fromkeys(
+        i64_hash64(f"{a} {b}") for a, b in zip(words, words[1:])
+    ))
+    cand = search(spark, index, "", mode="and", k=None, cfg=cfg,
+                  _term_ids=keys).select("doc_id")
+    # candidate sets are conjunction-sized (small); the semi join ships
+    # them to the doc scan instead of shuffling the corpus
+    cand_docs = docs.join(F.broadcast(cand), "doc_id", "left_semi")
+
+    from dataclasses import replace as _replace
+
+    cfg_w = _replace(cfg, n_grams=len(words))
+    phrase_key = i64_hash64(" ".join(words))
+    ph = (
+        tokenize_docs(cand_docs, cfg_w, id_col="doc_id", text_col=text_col)
+        .where(F.col("term_id") == F.lit(phrase_key))
+        .select("doc_id", "tf", "doc_len")
+    )
+    # the phrase doc frequency (BM25 df) needs one counting job over the
+    # verified set; the scoring plan then re-derives ph lazily — candidate
+    # sets are small, so re-tokenizing them costs less than holding a
+    # persist across the caller's action
+    phrase_df = ph.count()
+    if phrase_df == 0:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    meta = index.meta()
+    n_docs, avg_dl = int(meta["n_docs"]), float(meta["avg_dl"])
+    scored = ph.withColumn("df", F.lit(phrase_df)).withColumn(
+        "score", bm25_score_col(n_docs, avg_dl, cfg)
+    ).select(
+        "doc_id",
+        F.col("score").cast("double").alias("score"),
+        F.lit(1).cast("int").alias("n_terms"),
+    )
+    from alexandria_spark.plans.delete import filter_deleted
+
+    live = filter_deleted(spark, index, scored)
     return live if k is None else top_k(live, k)
 
 

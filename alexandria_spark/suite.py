@@ -49,6 +49,7 @@ Q_AND = ["dup", "join"]     # rare + common (selective conjunction)
 Q_OR = ["dup", "merge"]
 Q_TOPK = ["join", "hash"]
 PHRASE = ("table", "hash")
+PHRASE3 = ("stream", "table", "hash")   # > n_grams=2: exercises two-stage
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,6 +222,31 @@ SELECT ptf.doc_id,
            AS REAL) AS DOUBLE), 4) AS score
 FROM ptf JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN pdf_
 """
+
+
+SQL_BM25_PHRASE3 = SQL_PRELUDE + f"""
+, tri AS (SELECT doc_id, term AS w1,
+          lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+          lead(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+          FROM tok),
+ptf AS (SELECT doc_id, count(*) AS tf FROM tri
+        WHERE w1 = '{PHRASE3[0]}' AND w2 = '{PHRASE3[1]}'
+          AND w3 = '{PHRASE3[2]}' GROUP BY doc_id),
+pdf_ AS (SELECT count(*) AS df FROM ptf)
+SELECT ptf.doc_id,
+       round(CAST(CAST( ln((stats.n_docs - pdf_.df + 0.5e0)/(pdf_.df + 0.5e0) + 1.0e0)
+             * ((ptf.tf/CAST(dl.doc_len AS DOUBLE)) * 2.2e0)
+             / ((ptf.tf/CAST(dl.doc_len AS DOUBLE))
+                + 1.2e0 * (0.25e0 + (0.75e0 * dl.doc_len)/stats.avg_dl))
+           AS REAL) AS DOUBLE), 4) AS score
+FROM ptf JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN pdf_
+"""
+
+SQL_INDEX_PHRASE = (
+    f"SELECT 'bigram' AS variant, doc_id, score FROM ({SQL_BM25_PHRASE})"
+    f" UNION ALL "
+    f"SELECT 'trigram', doc_id, score FROM ({SQL_BM25_PHRASE3})"
+)
 
 
 def _score_e4(col):
@@ -667,11 +693,19 @@ def q_index_group_by_source(spark, sf_dir):
 
 
 def q_index_phrase(spark, sf_dir):
-    """Exact-phrase serving over a PERSISTED n_grams=2 index: the phrase is
-    ONE murmur n-gram key (text.cpp:360-373), so the whole query path is a
-    single-key lookup through the delta+varint blocks — every phrase match
-    with its BM25 score (df = phrase doc frequency, doc_len = unigram
-    count, corpus stats from the unigram doc_lengths table)."""
+    """Exact-phrase serving over a PERSISTED n_grams=2 index, two legs:
+
+    * 'bigram' — the phrase IS one murmur n-gram key (text.cpp:360-373), a
+      single-key lookup through the delta+varint blocks;
+    * 'trigram' — a 3-word phrase has NO persisted key on an n_grams=2
+      index (the reference keys the whole query, search_engine.h:474-490),
+      so it runs the two-stage path (plans/query.search_phrase_long):
+      bigram-AND candidates through the same blocks, then a positional
+      verify over the candidates only. Scores must equal the DuckDB
+      positional oracle exactly — rank AND value.
+
+    Both legs: df = phrase doc frequency, doc_len = unigram count, corpus
+    stats from the unigram doc_lengths table."""
     from alexandria_spark.plans.build import build_index
     from alexandria_spark.plans.query import search
 
@@ -685,9 +719,17 @@ def q_index_phrase(spark, sf_dir):
         _IDX_CACHE[key] = build_index(
             spark, _docs(spark, sf_dir), path, cfg, text_col="text"
         )
-    r = search(spark, _IDX_CACHE[key], " ".join(PHRASE), mode="phrase",
-               k=None, cfg=cfg)
-    return r.select("doc_id", _r4(F.col("score")).alias("score"))
+    bi = search(spark, _IDX_CACHE[key], " ".join(PHRASE), mode="phrase",
+                k=None, cfg=cfg)
+    tri = search(spark, _IDX_CACHE[key], " ".join(PHRASE3), mode="phrase",
+                 k=None, cfg=cfg, docs=_docs(spark, sf_dir))
+    return (
+        bi.select(F.lit("bigram").alias("variant"), "doc_id",
+                  _r4(F.col("score")).alias("score"))
+        .unionByName(
+            tri.select(F.lit("trigram").alias("variant"), "doc_id",
+                       _r4(F.col("score")).alias("score")))
+    )
 
 
 def q_merge_search_topk(spark, sf_dir):
@@ -897,7 +939,7 @@ ENTRIES: dict[str, tuple] = {
     "docpart_serve_full": (q_docpart_serve_full, _sql_index_serve_full()),
     "impact_topk": (q_impact_topk, _sql_impact_topk()),
     "merge_search_topk": (q_merge_search_topk, SQL_INDEX_SEARCH_TOPK),
-    "index_phrase": (q_index_phrase, SQL_BM25_PHRASE),
+    "index_phrase": (q_index_phrase, SQL_INDEX_PHRASE),
     "index_group_by_source": (q_index_group_by_source, SQL_GROUP_BY_SOURCE),
     # training-data pipeline operators (operators/{dedup,analysis,similarity})
     **dedup.ENTRIES,

@@ -25,6 +25,10 @@ def main():
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--engine", default="dist",
                    choices=["auto", "dist", "bmw", "local", "docpart", "impact"])
+    p.add_argument("--docs", default=None,
+                   help="parquet path of the (doc_id, text) corpus; enables "
+                        "exact phrases LONGER than the index's n_grams via "
+                        "the two-stage candidate+verify path (dist engine)")
     args = p.parse_args()
 
     from alexandria_spark.plans.build import Index
@@ -75,8 +79,10 @@ def main():
                     f"multi-term AND"
                 ) from exc
     else:
+        docs = spark.read.parquet(args.docs) if args.docs else None
         hits = [(r.doc_id, r.score) for r in
-                search(spark, idx, args.query, args.mode, args.k).collect()]
+                search(spark, idx, args.query, args.mode, args.k,
+                       docs=docs).collect()]
     print(json.dumps({
         "query": args.query, "mode": args.mode, "engine": engine,
         "engine_requested": args.engine,

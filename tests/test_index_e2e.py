@@ -434,3 +434,59 @@ def test_build_over_binary_text(spark, tmp_path):
            search(spark, idx, "quick", "or", k=10, cfg=cfg).collect()}
     assert got == {1, 2}  # the malformed doc's intact words are indexed
     assert idx.meta()["n_docs"] == 2
+
+
+def test_phrase_long_two_stage(spark, tmp_path):
+    """3-word exact phrase on an n_grams=2 index (two-stage candidate+verify,
+    plans/query.search_phrase_long) must equal the native single-key path of
+    an n_grams=3 index over the same docs — doc set, ranks, AND scores
+    bit-for-bit (both round through the f32 store grid). Also: absent phrase
+    -> empty; deleted doc excluded from verified results."""
+    from collections import Counter
+
+    from alexandria_spark.functions.tokenizer import tokenize
+    from alexandria_spark.plans.delete import delete_docs
+
+    pdf = synth_corpus_pdf(n_docs=120, seed=33)
+    docs = with_doc_ids(spark.createDataFrame(pdf)).withColumnRenamed(
+        "content", "text"
+    )
+    # most frequent trigram in the corpus = a phrase guaranteed present
+    tri = Counter()
+    for row in pdf.itertuples():
+        w = tokenize(row.content)
+        tri.update(zip(w, w[1:], w[2:]))
+    phrase = " ".join(tri.most_common(1)[0][0])
+
+    cfg2 = EngineConfig(num_shards=8, block_size=16, shuffle_partitions=8,
+                        build_waves=1, max_postings_per_salt=64, n_grams=2)
+    cfg3 = EngineConfig(num_shards=8, block_size=16, shuffle_partitions=8,
+                        build_waves=1, max_postings_per_salt=64, n_grams=3)
+    idx2 = build_index(spark, docs, str(tmp_path / "i2"), cfg2)
+    idx3 = build_index(spark, docs, str(tmp_path / "i3"), cfg3)
+
+    exp = [(int(r["doc_id"]), float(r["score"])) for r in
+           search(spark, idx3, phrase, "phrase", k=50, cfg=cfg3).collect()]
+    got = [(int(r["doc_id"]), float(r["score"])) for r in
+           search(spark, idx2, phrase, "phrase", k=50, cfg=cfg2,
+                  docs=docs).collect()]
+    assert len(exp) > 0 and [d for d, _ in got] == [d for d, _ in exp]
+    assert got == exp  # scores bit-identical (same f32 grid, same stats)
+
+    # n_grams=2 index without docs= still refuses a 3-word phrase loudly
+    with pytest.raises(ValueError, match="n_grams"):
+        search(spark, idx2, phrase, "phrase", k=5, cfg=cfg2)
+
+    # absent phrase: bigram candidates may exist, verify stage must drop all
+    w = phrase.split()
+    absent = f"{w[0]} {w[1]} zz_absent_token"
+    assert search(spark, idx2, absent, "phrase", k=5, cfg=cfg2,
+                  docs=docs).count() == 0
+
+    # tombstoned doc is excluded from the verified phrase results
+    victim = exp[0][0]
+    delete_docs(spark, idx2, [victim])
+    got2 = {int(r["doc_id"]) for r in
+            search(spark, idx2, phrase, "phrase", k=50, cfg=cfg2,
+                   docs=docs).collect()}
+    assert victim not in got2 and got2 == {d for d, _ in exp} - {victim}

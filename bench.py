@@ -35,6 +35,51 @@ QUERIES = [
 ]
 
 
+def _measure_concurrent(spark, serve, queries, workers: int, rounds: int) -> dict:
+    """Throughput under concurrency: ``workers`` in-flight mixed queries
+    against ONE warm engine, ``workers * rounds`` total. Each worker thread
+    submits into its own FAIR-scheduler pool (pools share the cluster
+    fairly, so one heavy query cannot convoy-block the rest — the Spark
+    analogue of the reference's per-connection request threads). Reports
+    q/s and the p50/p95 single-query latency AS SEEN UNDER LOAD."""
+    import itertools
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    lat: list[float] = []
+    lock = threading.Lock()
+
+    def one(i: int, q: str, m: str) -> None:
+        # local properties are per-Python-thread (pinned-thread mode), so
+        # each in-flight query lands in its own pool
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"conc{i % workers}")
+        t0 = time.time()
+        serve(q, m)
+        dt = time.time() - t0
+        with lock:
+            lat.append(dt)
+
+    tasks = list(itertools.islice(itertools.cycle(queries), workers * rounds))
+    for q, m in dict.fromkeys(tasks):  # plan/fetch warmup, serial
+        serve(q, m)
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        for f in [ex.submit(one, i, q, m)
+                  for i, (q, m) in enumerate(tasks)]:
+            f.result()
+    wall = time.time() - t0
+    lat.sort()
+    return {
+        "in_flight": workers,
+        "n_queries": len(tasks),
+        "qps": round(len(tasks) / wall, 2),
+        "p50_sec": round(statistics.median(lat), 3),
+        "p95_sec": round(lat[int(0.95 * (len(lat) - 1))], 3),
+        "wall_sec": round(wall, 2),
+    }
+
+
 def _cfg(cpus: int, waves: int = 2):
     from alexandria_spark.config import EngineConfig
 
@@ -320,7 +365,11 @@ def main() -> None:
         queries_sec["build_index"] = build_main["build_sec"]
         out["build"] = build_main
 
-        spark = get_spark(app="bench-query", cores=cpus, shuffle_partitions=max(32, cpus))
+        # FAIR mode for the concurrency phase below; single-query phases
+        # are unaffected (one job at a time sees the whole cluster either way)
+        spark = get_spark(app="bench-query", cores=cpus,
+                          shuffle_partitions=max(32, cpus),
+                          extra={"spark.scheduler.mode": "FAIR"})
         idx = Index(idx_path)
 
         t0 = time.time()
@@ -392,6 +441,29 @@ def main() -> None:
             ie.or_topk(q, 10)
             iwarm.append(time.time() - t0)
             queries_sec[name + "_impact_warm"] = round(iwarm[-1], 3)
+
+        # ---- phase B2: throughput under concurrency ----------------------
+        # The reference's only published serving numbers are ApacheBench
+        # throughput under concurrent load (c=5, 6.8-8.6 q/s, its
+        # performance journal); single-query p50 alone can hide cross-query
+        # interference. 8 in-flight mixed queries against each warm engine,
+        # FAIR-scheduled (see _measure_concurrent); p50_vs_idle is the
+        # interference factor against the idle warm p50 measured above.
+        conc = int(os.environ.get("SPARK_GRAFT_CONCURRENCY", "8"))
+        conc_rounds = int(os.environ.get("SPARK_GRAFT_CONC_ROUNDS", "6"))
+        dp_queries = [(q, m) for _, q, m in QUERIES if "zzz" not in q]
+        im_queries = [(q, m) for _, q, m in QUERIES if m == "or"]
+        out["concurrency"] = {}
+        for eng_name, serve, qs, idle_p50 in (
+            ("docpart", lambda q, m: dpe.search(q, m, 10).collect(),
+             dp_queries, statistics.median(dwarm)),
+            ("impact", lambda q, m: ie.or_topk(q, 10),
+             im_queries, statistics.median(iwarm)),
+        ):
+            r = _measure_concurrent(spark, serve, qs, conc, conc_rounds)
+            r["p50_vs_idle"] = round(r["p50_sec"] / idle_p50, 2)
+            out["concurrency"][eng_name] = r
+            queries_sec[f"concurrent_{eng_name}_p50"] = r["p50_sec"]
         spark.stop()
 
         out["latency"] = {

@@ -69,7 +69,7 @@ def load_deletes(spark: SparkSession, index: Index) -> DataFrame | None:
     tombstone; one re-ingested but not yet refreshed stays hidden (its
     servable postings are still the old content). Returns (doc_id) rows —
     every serving path anti-joins / sorted-array-drops this set unchanged."""
-    from alexandria_spark.plans.versioning import with_version
+    from alexandria_spark.plans.versioning import read_versioned
 
     tombs = load_tombstones(spark, index)
     if tombs is None:
@@ -79,7 +79,7 @@ def load_deletes(spark: SparkSession, index: Index) -> DataFrame | None:
         return tombs.select("doc_id")
     # slim two-column scan of doc_lengths joined to the (small) tombstone
     # set; output is at most the tombstone count
-    dl = with_version(spark.read.parquet(dl_path)).select(
+    dl = read_versioned(spark, dl_path).select(
         "doc_id", F.col("version").alias("cur_version"))
     eff = (
         tombs.join(dl, "doc_id", "left")
@@ -129,8 +129,8 @@ def compact(spark: SparkSession, index: Index,
     leaves no bytes behind anywhere."""
     from alexandria_spark.plans.versioning import (
         latest_versions_only,
+        read_versioned,
         version_span,
-        with_version,
     )
 
     cfg = cfg or index.config()
@@ -139,7 +139,7 @@ def compact(spark: SparkSession, index: Index,
     if not os.path.exists(td_path):
         raise ValueError("compact requires a materialized stage-1 term_doc table")
     dels = load_tombstones(spark, index)
-    td = with_version(spark.read.parquet(td_path)).select(
+    td = read_versioned(spark, td_path).select(
         "doc_id", "term_id", "shard", "tf", "doc_len", "version")
     # physical cleanup is row-level and version-aware: a tombstone at
     # del_version drops only rows up to that version, so a doc re-ingested
@@ -147,7 +147,8 @@ def compact(spark: SparkSession, index: Index,
     # (no more delete→re-ingest→compact data loss); superseded versions of
     # updated docs are dropped too — compact leaves exactly one live
     # version per surviving doc
-    if version_span(td) != (0, 0):
+    vmin, vmax = version_span(td)
+    if vmin != vmax:
         td = latest_versions_only(td)
     if dels is not None:
         if _deletes_small(index):
@@ -185,7 +186,8 @@ def compact(spark: SparkSession, index: Index,
     atomic_swap_dir(tmp, td_path)
     import shutil
     idx = rebuild_from_term_doc(
-        spark, spark.read.parquet(td_path), index.path, cfg, run_id="compact"
+        spark, read_versioned(spark, td_path), index.path, cfg,
+        run_id="compact", versions_resolved=True
     )
     p = deletes_path(index)
     if os.path.exists(p):

@@ -32,6 +32,7 @@ def rebuild_from_term_doc(
     index_path: str,
     cfg: EngineConfig = DEFAULT,
     run_id: str = "rebuild",
+    versions_resolved: bool = False,
 ) -> Index:
     """Finalize an index from a (possibly merged/appended) term_doc stream:
     recompute doc_lengths / term_stats / meta, then re-block every shard.
@@ -52,11 +53,15 @@ def rebuild_from_term_doc(
     # version, keep only each doc's LATEST version's rows — a re-ingested
     # doc REPLACES its postings (a term present only in the old version
     # disappears); the version_span probe skips the extra doc-key pass on
-    # the common append-only/batch case
+    # the common append-only/batch case, and ``versions_resolved=True``
+    # callers (compact, which just ran the resolution itself) skip both
+    # probes — surviving docs at distinct versions would otherwise pay a
+    # provably-no-op full window shuffle here on every compact
     term_doc = with_version(term_doc)
-    vmin, vmax = version_span(term_doc)
-    if vmin != vmax:
-        term_doc = latest_versions_only(term_doc)
+    if not versions_resolved:
+        vmin, vmax = version_span(term_doc)
+        if vmin != vmax:
+            term_doc = latest_versions_only(term_doc)
 
     # duplicate (term, doc) pairs from overlapping SAME-version sources
     # (partial-index merges) still combine via +=
@@ -65,7 +70,7 @@ def rebuild_from_term_doc(
         .agg(F.sum("tf").alias("tf"), F.max("doc_len").alias("doc_len"),
              F.max("version").alias("version"))
     )
-    dl = td.groupBy("doc_id").agg(F.first("doc_len").alias("doc_len"),
+    dl = td.groupBy("doc_id").agg(F.max_by("doc_len", "version").alias("doc_len"),
                                   F.max("version").alias("version"))
     dl.write.mode("overwrite").parquet(os.path.join(index_path, "doc_lengths"))
     ts = td.groupBy("term_id").agg(F.count("*").alias("df"))
@@ -118,21 +123,48 @@ def merge_indexes(
     sources: list[Index],
     out_path: str,
     cfg: EngineConfig | None = None,
+    shared_versions: bool = False,
 ) -> Index:
     """Merge N partial indexes (built with materialize_stage1=True) into one.
 
     Spark-first answer to the reference's manual id-remap merge: the
     term-hash shuffle re-co-locates every posting, so the merge is a union +
     re-aggregation, and scores are refreshed from the merged corpus stats.
-    """
-    from alexandria_spark.plans.versioning import with_version
+
+    Version numbers come from each source's OWN persisted counter, so they
+    are only comparable when the sources share one ingest lineage. By
+    default the merge therefore rebases every source to version 0 — the
+    content-union semantics partial-shard merges need (same doc in two
+    partials carries identical content; `+=` combines split postings).
+    Pass ``shared_versions=True`` only when the sources' counters really
+    share a domain: then a doc present in several sources resolves
+    latest-version-wins instead (without it, index A's unrelated counter
+    being numerically higher would let its STALE copy of a doc beat index
+    B's fresh one)."""
+    from alexandria_spark.plans.versioning import (
+        latest_versions_only,
+        read_versioned,
+        version_span,
+    )
 
     cfg = cfg or sources[0].config()
     tds = [
-        with_version(
-            spark.read.parquet(os.path.join(s.path, "term_doc"))
+        read_versioned(
+            spark, os.path.join(s.path, "term_doc")
         ).select("doc_id", "term_id", "shard", "tf", "doc_len", "version")
         for s in sources
     ]
+    if not shared_versions:
+        # a source's INTERNAL update history still resolves (within one
+        # index the counter is authoritative); only cross-source
+        # comparison is meaningless, so rebase after per-source resolution
+        resolved = []
+        for t in tds:
+            vmin, vmax = version_span(t)
+            if vmin != vmax:
+                t = latest_versions_only(t)
+            resolved.append(t.withColumn("version", F.lit(0).cast("long")))
+        tds = resolved
     merged = reduce(lambda a, b: a.unionByName(b), tds)
-    return rebuild_from_term_doc(spark, merged, out_path, cfg, run_id="merge")
+    return rebuild_from_term_doc(spark, merged, out_path, cfg, run_id="merge",
+                                 versions_resolved=not shared_versions)

@@ -64,6 +64,20 @@ def next_version(index_path: str) -> int:
     return v
 
 
+def read_versioned(spark, path: str) -> DataFrame:
+    """Read a term_doc / doc_lengths directory whose part files may MIX
+    pre-versioning (no ``version`` column) and versioned writes — a
+    batch-built index that later took streaming appends. A plain
+    ``spark.read.parquet`` picks its schema from one arbitrary part file;
+    if a legacy file wins, the version column silently vanishes for EVERY
+    row and latest-version-wins never fires. ``mergeSchema`` unions the
+    footers (legacy rows read the column as null, which ``with_version``
+    coalesces to 0 — exactly the legacy semantics)."""
+    return with_version(
+        spark.read.option("mergeSchema", "true").parquet(path)
+    )
+
+
 def with_version(df: DataFrame, default: int = 0) -> DataFrame:
     """Normalize the version column: add it (``default``) when absent,
     null-coalesce it when present (rows written before the column existed

@@ -240,6 +240,80 @@ def gc_in_progress(spark: SparkSession, name: str = "ax_doc_store") -> bool:
     return os.path.exists(p)
 
 
+def _append_marker_dir(spark: SparkSession, name: str) -> str:
+    return _warehouse_dir(spark, f"{name}_appends")
+
+
+def _register_append_intent(spark: SparkSession, name: str) -> str:
+    """Announce an in-flight append BEFORE checking the GC lock. The lock
+    alone is check-then-act: an append that passed gc_in_progress() but is
+    still writing when gc_doc_store snapshots would commit after the
+    snapshot and be silently dropped by the rewrite. With intent markers
+    the GC (which registers its lock FIRST, then drains) waits for every
+    append that could commit rows; an append that sees the lock after
+    registering withdraws its own marker and raises, so the pair can't
+    deadlock. Marker carries the holder pid for staleness breaking."""
+    import uuid
+
+    d = _append_marker_dir(spark, name)
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, f"{os.getpid()}_{uuid.uuid4().hex}.json")
+    with open(p, "w") as fh:
+        json.dump({"pid": os.getpid(), "op": "append"}, fh)
+    return p
+
+
+def _live_append_intents(spark: SparkSession, name: str) -> list[str]:
+    """Paths of append markers whose holder pid is still alive; stale
+    markers (holder SIGKILLed mid-append) are removed on the way."""
+    d = _append_marker_dir(spark, name)
+    live = []
+    try:
+        names = os.listdir(d)
+    except OSError:
+        return live
+    for n in names:
+        p = os.path.join(d, n)
+        try:
+            with open(p) as fh:
+                pid = int(json.load(fh).get("pid", 0))
+            os.kill(pid, 0)
+        except (OSError, ValueError, KeyError, ProcessLookupError):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+            continue
+        live.append(p)
+    return live
+
+
+def _drain_append_intents(spark: SparkSession, name: str,
+                          timeout_sec: float | None = None) -> None:
+    """Block the GC until every in-flight append has committed or died.
+    Appends registered before the GC lock existed finish and withdraw;
+    ones registered after see the lock and withdraw immediately. A drain
+    that times out aborts the GC loudly — losing committed payload rows is
+    never the fallback. Default 120s, SPARK_GRAFT_GC_DRAIN_SEC overrides
+    (a microbatch append is seconds; minutes means something is wedged)."""
+    import time as _time
+
+    if timeout_sec is None:
+        timeout_sec = float(os.environ.get("SPARK_GRAFT_GC_DRAIN_SEC", "120"))
+    t0 = _time.time()
+    while True:
+        live = _live_append_intents(spark, name)
+        if not live:
+            return
+        if _time.time() - t0 > timeout_sec:
+            raise TimeoutError(
+                f"doc store {name!r}: {len(live)} append(s) still in flight "
+                f"after {timeout_sec:.0f}s drain (markers: {live[:3]}); GC "
+                f"aborted — retry in a quiet window or raise the timeout"
+            )
+        _time.sleep(0.25)
+
+
 def drop_doc_store(spark: SparkSession, name: str = "ax_doc_store") -> None:
     """Remove the store COMPLETELY: the table, its live directory, and
     every recovery remnant adoption would otherwise resurrect (`_old`,
@@ -252,6 +326,9 @@ def drop_doc_store(spark: SparkSession, name: str = "ax_doc_store") -> None:
         os.remove(_gc_lock_path(spark, name))
     except OSError:
         pass
+    import shutil as _shutil
+
+    _shutil.rmtree(_append_marker_dir(spark, name), ignore_errors=True)
 
 
 def save_doc_store(docs: DataFrame, name: str = "ax_doc_store",
@@ -275,36 +352,47 @@ def append_doc_store(docs: DataFrame, name: str = "ax_doc_store",
     Exactly-once to the same degree as the postings append: the stream's
     checkpoint prevents re-ingesting a finished batch."""
     spark = docs.sparkSession
-    if gc_in_progress(spark, name):
-        # a GC rewrite is mid-flight: an append now would land after its
-        # refreshTable snapshot and be silently dropped by the anti-join
-        # rewrite. Raising fails the caller's microbatch, whose checkpoint
-        # re-delivers the batch after the GC window closes.
-        raise RuntimeError(
-            f"doc store {name!r} is being garbage-collected "
-            f"({_gc_lock_path(spark, name)}); retry the append after GC "
-            f"completes"
+    # intent marker FIRST, gc check second (mirror-ordered against the GC,
+    # which locks first then drains intents — see _register_append_intent):
+    # any append that will commit rows is either visible to the GC's drain
+    # or sees the GC's lock here and withdraws
+    marker = _register_append_intent(spark, name)
+    try:
+        if gc_in_progress(spark, name):
+            # a GC rewrite is mid-flight: an append now would land after its
+            # refreshTable snapshot and be silently dropped by the anti-join
+            # rewrite. Raising fails the caller's microbatch, whose checkpoint
+            # re-delivers the batch after the GC window closes.
+            raise RuntimeError(
+                f"doc store {name!r} is being garbage-collected "
+                f"({_gc_lock_path(spark, name)}); retry the append after GC "
+                f"completes"
+            )
+        if not _ensure_registered(spark, name, buckets):
+            save_doc_store(docs, name, buckets)
+            return
+        # align to the TABLE's schema: a versioned ingest appending to a store
+        # created before the version column existed drops the column (that
+        # store keeps its legacy no-update semantics) rather than failing the
+        # microbatch; a version-less append into a versioned store lands as
+        # version 0
+        table_cols = [f.name for f in spark.table(name).schema]
+        if "version" in table_cols and "version" not in docs.columns:
+            docs = docs.withColumn("version", F.lit(0).cast("long"))
+        docs = docs.select(*table_cols)
+        # append with the store's AUTHORITATIVE bucket count (meta marker, then
+        # catalog spec) — the caller's default argument must not re-spec an
+        # existing store's physical layout
+        n_buckets = store_buckets(spark, name, default=buckets)
+        (
+            docs.write.bucketBy(n_buckets, "doc_id").sortBy("doc_id")
+            .mode("append").format("parquet").saveAsTable(name)
         )
-    if not _ensure_registered(spark, name, buckets):
-        save_doc_store(docs, name, buckets)
-        return
-    # align to the TABLE's schema: a versioned ingest appending to a store
-    # created before the version column existed drops the column (that
-    # store keeps its legacy no-update semantics) rather than failing the
-    # microbatch; a version-less append into a versioned store lands as
-    # version 0
-    table_cols = [f.name for f in spark.table(name).schema]
-    if "version" in table_cols and "version" not in docs.columns:
-        docs = docs.withColumn("version", F.lit(0).cast("long"))
-    docs = docs.select(*table_cols)
-    # append with the store's AUTHORITATIVE bucket count (meta marker, then
-    # catalog spec) — the caller's default argument must not re-spec an
-    # existing store's physical layout
-    n_buckets = store_buckets(spark, name, default=buckets)
-    (
-        docs.write.bucketBy(n_buckets, "doc_id").sortBy("doc_id")
-        .mode("append").format("parquet").saveAsTable(name)
-    )
+    finally:
+        try:
+            os.remove(marker)
+        except OSError:
+            pass
 
 
 def gc_doc_store(tombstones: DataFrame, name: str = "ax_doc_store",
@@ -343,6 +431,10 @@ def gc_doc_store(tombstones: DataFrame, name: str = "ax_doc_store",
     spark = tombstones.sparkSession
     lock = _acquire_gc_lock(spark, name)
     try:
+        # with the lock up, no NEW append proceeds; wait out the in-flight
+        # ones that registered intent before the lock existed (they commit
+        # or die), so the refreshTable snapshot below can't miss rows
+        _drain_append_intents(spark, name)
         registered = spark.catalog.tableExists(name)
         if not registered and spark.catalog.tableExists(f"{name}_old"):
             # in-catalog crash recovery: the parked old table is the truth
@@ -363,6 +455,17 @@ def gc_doc_store(tombstones: DataFrame, name: str = "ax_doc_store",
             if src_dir is None:
                 return False
             src = spark.read.parquet(src_dir)
+        # nothing-to-GC fast path: with zero tombstones a rewrite can only
+        # drop superseded payload versions; a version-less store has none,
+        # and a versioned store proves it with one shuffle-free aggregate
+        # over the bucketed scan (still far cheaper than rewriting every
+        # byte and opening the swap/crash window for a no-op)
+        if not tombstones.take(1):
+            if "version" not in src.columns:
+                return True
+            if not (src.groupBy("doc_id").count()
+                    .where(F.col("count") > 1).take(1)):
+                return True
         if buckets is None:
             # the store's own recorded count, else the catalog's spec; a GC
             # must NEVER fall back to a hard-coded default — silently
@@ -458,12 +561,20 @@ def decorate_from_store(results: DataFrame, store: DataFrame,
     assert via test_plans: no Exchange above the store scan.
 
     A VERSIONED store (streaming-ingested) may hold several versions of an
-    updated doc until the next GC; decoration serves the latest — the
-    max_by runs on the bucketed doc_id clustering, so the store side still
-    takes no Exchange."""
+    updated doc until the next GC; decoration serves the latest. The
+    latest-wins aggregate runs AFTER a broadcast semi join on the (k-row)
+    results — every version of a doc lives in the store, so the latest
+    among the joined rows is the latest overall — because an aggregate
+    below the join would re-scan and re-group the ENTIRE store on every
+    decorated query (the join filter cannot push through it). The store
+    side still takes no Exchange: a broadcast join preserves the bucketed
+    scan's clustering, so the groupBy stays shuffle-free."""
     if "version" in store.columns:
-        store = store.groupBy("doc_id").agg(
-            F.expr("max_by(text, version)").alias("text"))
+        store = (
+            store.join(F.broadcast(results.select("doc_id")),
+                       "doc_id", "left_semi")
+            .groupBy("doc_id").agg(F.expr("max_by(text, version)").alias("text"))
+        )
     return results.join(
         store.select("doc_id", F.substring("text", 1, snippet_len).alias("snippet")),
         "doc_id",

@@ -206,7 +206,9 @@ def refresh_index(spark: SparkSession, index_path: str,
     re-anchoring role, merger.cpp:176-181)."""
     td_path = os.path.join(index_path, "term_doc")
     if mode == "full":
-        td = spark.read.parquet(td_path)
+        from alexandria_spark.plans.versioning import read_versioned
+
+        td = read_versioned(spark, td_path)
         idx = rebuild_from_term_doc(spark, td, index_path, cfg, run_id="refresh")
         _clear_pending(index_path)
         _write_staleness(index_path, 0)  # global stats re-anchored
@@ -226,18 +228,39 @@ def refresh_index(spark: SparkSession, index_path: str,
     meta = idx.meta()
     n_docs, avg_dl = int(meta["n_docs"]), float(meta["avg_dl"])
 
-    from alexandria_spark.plans.versioning import with_version
+    from alexandria_spark.plans.versioning import read_versioned
 
     dl_path = os.path.join(index_path, "doc_lengths")
-    existing = with_version(spark.read.parquet(dl_path)).select(
+    existing = read_versioned(spark, dl_path).select(
         "doc_id", F.col("version").alias("cur_version"))
 
-    # duplicate (term, doc) pairs across appends combine via += ; the filter
-    # is pushed into the parquet scan (shard is a leading stats column)
+    td_raw = read_versioned(spark, td_path).where(F.col("shard").isin(shards))
+    # latest-version-wins must apply WITHIN the pending appends too: a doc
+    # ingested at v1 then re-ingested at v2 before any refresh is in
+    # NEITHER doc_lengths nor the escalation gate below (cur_version is
+    # null), and summing across its versions would serve both contents
+    # forever. Resolution over the touched shards is complete — every
+    # shard v1 touched is still pending, because v1 itself arrived after
+    # the last refresh. Two cheap probes keep the common cases free: a
+    # single-version span (one batch pending) skips everything, and an
+    # append-only multi-batch span (distinct docs at distinct versions —
+    # the usual stream) is proven by countDistinct(doc, version) ==
+    # countDistinct(doc), so the window shuffle runs only when some doc
+    # truly has two pending versions.
+    from alexandria_spark.plans.versioning import latest_versions_only, version_span
+
+    vmin, vmax = version_span(td_raw)
+    if vmin != vmax:
+        probe = td_raw.agg(
+            F.countDistinct("doc_id", "version").alias("dv"),
+            F.countDistinct("doc_id").alias("d")).collect()[0]
+        if int(probe["dv"]) != int(probe["d"]):
+            td_raw = latest_versions_only(td_raw)
+    # duplicate SAME-version (term, doc) pairs across appends combine via
+    # += ; the shard filter is pushed into the parquet scan (shard is a
+    # leading stats column)
     td = (
-        with_version(spark.read.parquet(td_path))
-        .where(F.col("shard").isin(shards))
-        .groupBy("term_id", "doc_id", "shard")
+        td_raw.groupBy("term_id", "doc_id", "shard")
         .agg(F.sum("tf").alias("tf"), F.max("doc_len").alias("doc_len"),
              F.max("version").alias("version"))
     )
@@ -245,7 +268,8 @@ def refresh_index(spark: SparkSession, index_path: str,
     # (staleness meter / doc_lengths append) and whether any existing doc
     # arrived at a higher version (an UPDATE)
     doc_vers = td.groupBy("doc_id").agg(
-        F.first("doc_len").alias("doc_len"), F.max("version").alias("version")
+        F.max_by("doc_len", "version").alias("doc_len"),
+        F.max("version").alias("version"),
     ).join(existing, "doc_id", "left").persist()
     # UPDATE gate: an updated doc's OLD version may hold terms in shards
     # these appends never touched — their stale postings are unreachable

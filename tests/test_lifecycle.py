@@ -293,3 +293,43 @@ def test_update_and_delete_reingest_lifecycle(spark, tmp_path):
         _rank_equiv(got, exp, (q, mode, "clean-rebuild"))
         for (_, gs), (_, es) in zip(got, exp):
             assert abs(gs - es) <= 1e-9 * max(1.0, abs(es)), (q, mode)
+
+
+def test_pending_multiversion_update_partial_refresh(spark, tmp_path):
+    """A doc ingested at v1 then RE-ingested at v2 before any refresh is in
+    neither doc_lengths nor the partial path's escalation gate (its
+    cur_version is null) — latest-version-wins must apply WITHIN the
+    pending appends, or both versions' postings +=-merge and the old
+    content is served forever. Every engine must serve only v2."""
+    from alexandria_spark.plans.build import tokenize_docs
+
+    in_dir = str(tmp_path / "incoming")
+    idx_path = str(tmp_path / "idx")
+
+    base = [(i, f"common base kw{i} body text {i % 3}") for i in range(1, 11)]
+    _manual_docs(spark, base).coalesce(1).write.mode("append").parquet(in_dir)
+    schema = _manual_docs(spark, base).schema
+    ingest_stream(spark, in_dir, idx_path, schema, CFG)
+    refresh_index(spark, idx_path, CFG, mode="full")  # anchor stats
+    build_impact_postings(spark, Index(idx_path), CFG)
+    rebuild_docpart_from_postings(spark, idx_path, CFG)
+
+    # v1 then v2 of NEW doc 50, both pending before the next refresh
+    v1 = [(50, "common pendalpha pendbeta body")]
+    _manual_docs(spark, v1).coalesce(1).write.mode("append").parquet(in_dir)
+    ingest_stream(spark, in_dir, idx_path, schema, CFG)
+    v2 = [(50, "common pendgamma body")]
+    _manual_docs(spark, v2).coalesce(1).write.mode("append").parquet(in_dir)
+    ingest_stream(spark, in_dir, idx_path, schema, CFG)
+
+    refresh_index(spark, idx_path, CFG, mode="partial")
+    for q, want in (("pendalpha", []), ("pendbeta", []),
+                    ("pendgamma", [50]), ("kw5", [5])):
+        got = _engine_hits(spark, idx_path, q)
+        assert all(ids == want for ids in got.values()), (q, want, got)
+    # doc_lengths carries v2's length, not v1's or a merge of both
+    dl = {r.doc_id: r.doc_len for r in spark.read.parquet(
+        os.path.join(idx_path, "doc_lengths")).collect()}
+    n_v2_tokens = tokenize_docs(
+        _manual_docs(spark, v2), CFG).agg(F.sum("tf")).collect()[0][0]
+    assert dl[50] == n_v2_tokens

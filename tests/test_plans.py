@@ -610,3 +610,233 @@ def test_adoption_crash_leaves_no_stranded_copy(spark):
     assert gc_doc_store(tombs, name, buckets=4)
     assert load_doc_store(spark, name).count() == 54
     drop_doc_store(spark, name)
+
+
+def test_read_versioned_mixed_schema(spark, tmp_path):
+    """A term_doc directory mixing pre-versioning part files (no version
+    column) and versioned ones must read with BOTH preserved: plain
+    spark.read.parquet takes its schema from one arbitrary footer and can
+    silently drop the column for every row (legacy file wins), which would
+    disable latest-version-wins exactly where it matters — a batch-built
+    index that later took streaming appends."""
+    from alexandria_spark.plans.versioning import read_versioned
+
+    d = str(tmp_path / "mixed")
+    legacy = spark.range(3).select(
+        F.col("id").alias("doc_id"), F.lit(7).alias("tf"))
+    legacy.write.mode("append").parquet(d)
+    versioned = spark.range(3, 6).select(
+        F.col("id").alias("doc_id"), F.lit(9).alias("tf"),
+        F.lit(3).cast("long").alias("version"))
+    versioned.write.mode("append").parquet(d)
+
+    got = {(r.doc_id, r.version) for r in read_versioned(spark, d).collect()}
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 3)}
+
+
+def test_merge_indexes_version_domains(spark, tmp_path):
+    """merge_indexes version semantics: each source's counter is only
+    meaningful internally. By default (shared_versions=False) a source's
+    OWN update history still resolves latest-wins, but version numbers
+    never compare across sources — index A's numerically-higher unrelated
+    counter must not let its copy of a doc beat index B's. With
+    shared_versions=True cross-source resolution applies."""
+    import os as _os
+
+    from alexandria_spark.plans.build import Index, tokenize_docs
+    from alexandria_spark.plans.merge import merge_indexes
+
+    cfg = EngineConfig(num_shards=4, block_size=8, shuffle_partitions=4,
+                       build_waves=1, max_postings_per_salt=32)
+
+    def _mk_source(path, rows):
+        # a minimal partial index: just the materialized stage-1 term_doc
+        # (merge_indexes reads nothing else from a source)
+        for doc_id, text, version in rows:
+            df = tokenize_docs(
+                spark.createDataFrame([(doc_id, text)], "doc_id long, text string"),
+                cfg,
+            ).withColumn("version", F.lit(version).cast("long"))
+            df.write.mode("append").parquet(_os.path.join(path, "term_doc"))
+        return Index(path)
+
+    # A: doc 1 updated internally (v1 'stale alpha' -> v2 'fresh beta'),
+    #    counter far ahead; also holds doc 3 at v7 with STALE content
+    a = _mk_source(str(tmp_path / "a"),
+                   [(1, "stale alpha", 1), (1, "fresh beta", 2),
+                    (3, "ancient gamma", 7)])
+    # B: doc 3's FRESH content, but B's young counter says version 1
+    b = _mk_source(str(tmp_path / "b"), [(3, "current delta", 1)])
+
+    out = merge_indexes(spark, [a, b], str(tmp_path / "m"), cfg)
+    hits = lambda q, idx: sorted(  # noqa: E731
+        r.doc_id for r in search(spark, idx, q, "or", k=10, cfg=cfg).collect())
+    # A's internal history resolved: old version's term gone
+    assert hits("alpha", out) == [] and hits("beta", out) == [1]
+    # cross-source: BOTH contents of doc 3 survive as a += union (version
+    # domains are incomparable, so neither side is dropped)...
+    assert hits("gamma", out) == [3] and hits("delta", out) == [3]
+
+    # ...unless the caller asserts one counter domain: then 7 > 1 resolves
+    out2 = merge_indexes(spark, [a, b], str(tmp_path / "m2"), cfg,
+                         shared_versions=True)
+    assert hits("gamma", out2) == [3] and hits("delta", out2) == []
+
+
+def test_gc_noop_fast_path_skips_rewrite(spark):
+    """gc_doc_store with zero tombstones and nothing superseded must NOT
+    rewrite the store: a version-less store (or a versioned one with a
+    single live version per doc) has nothing a rewrite could change, and
+    the rewrite would pointlessly open the swap/crash-recovery window."""
+    import glob as _glob
+
+    from alexandria_spark.sources.docstore import (
+        _warehouse_dir,
+        drop_doc_store,
+        gc_doc_store,
+        load_doc_store,
+        save_doc_store,
+    )
+
+    name = "ax_store_noop_gc"
+    drop_doc_store(spark, name)
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    )
+    save_doc_store(docs, name, buckets=4)
+    empty = spark.createDataFrame([], "doc_id long, del_version long")
+
+    before = sorted(_glob.glob(_warehouse_dir(spark, name) + "/*.parquet"))
+    assert gc_doc_store(empty, name)
+    after = sorted(_glob.glob(_warehouse_dir(spark, name) + "/*.parquet"))
+    assert before == after  # same physical files: no rewrite happened
+
+    # a versioned store WITH a superseded row still rewrites
+    from alexandria_spark.sources.docstore import append_doc_store
+
+    drop_doc_store(spark, name)
+    v0 = docs.withColumn("version", F.lit(0).cast("long"))
+    save_doc_store(v0, name, buckets=4)
+    upd = spark.range(5).select(
+        F.col("id").alias("doc_id"), F.lit("new text").alias("text"),
+        F.lit(1).cast("long").alias("version"))
+    append_doc_store(upd, name, buckets=4)
+    assert load_doc_store(spark, name).count() == 55
+    assert gc_doc_store(empty, name)
+    st = load_doc_store(spark, name)
+    assert st.count() == 50  # superseded payloads physically gone
+    assert {r.text for r in st.where(F.col("doc_id") < 5).collect()} \
+        == {"new text"}
+    drop_doc_store(spark, name)
+
+
+def test_gc_waits_for_inflight_append_intents(spark, monkeypatch):
+    """The GC lock alone is check-then-act: an append that passed the
+    gc_in_progress check but is still writing when GC snapshots would
+    commit after the snapshot and be dropped by the rewrite. GC must drain
+    live append-intent markers first — and abort loudly (never drop rows)
+    if one won't clear."""
+    import os
+    import threading
+    import time as _time
+
+    from alexandria_spark.sources.docstore import (
+        _live_append_intents,
+        _register_append_intent,
+        drop_doc_store,
+        gc_doc_store,
+        save_doc_store,
+    )
+
+    name = "ax_store_drain"
+    drop_doc_store(spark, name)
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    )
+    save_doc_store(docs, name, buckets=4)
+    empty_tombs = spark.range(0).select(F.col("id").alias("doc_id"))
+    tombs = spark.range(3).select(F.col("id").alias("doc_id"))
+
+    # a live in-flight append (marker held by THIS live pid) must block the
+    # GC until withdrawn; with a tiny drain budget it aborts loudly instead
+    marker = _register_append_intent(spark, name)
+    monkeypatch.setenv("SPARK_GRAFT_GC_DRAIN_SEC", "1")
+    with pytest.raises(TimeoutError, match="in flight"):
+        gc_doc_store(tombs, name)
+    assert spark.table(name).count() == 30  # nothing was dropped
+
+    # marker withdrawn mid-drain -> GC proceeds
+    monkeypatch.setenv("SPARK_GRAFT_GC_DRAIN_SEC", "30")
+    t = threading.Timer(1.0, lambda: os.remove(marker))
+    t.start()
+    try:
+        assert gc_doc_store(tombs, name)
+    finally:
+        t.cancel()
+    assert spark.table(name).count() == 27
+
+    # a STALE marker (holder pid dead) never blocks: cleaned on sight
+    d_marker = _register_append_intent(spark, name)
+    import json as _json
+
+    with open(d_marker, "w") as fh:
+        _json.dump({"pid": 999_999_999, "op": "append"}, fh)
+    t0 = _time.time()
+    assert _live_append_intents(spark, name) == []
+    assert not os.path.exists(d_marker)
+    assert _time.time() - t0 < 5
+    drop_doc_store(spark, name)
+
+
+def test_decorate_versioned_store_aggregates_after_join(spark):
+    """Versioned-store decoration must not re-aggregate the ENTIRE store
+    per query: the latest-wins max_by runs above a broadcast semi join on
+    the k-row results (every version of a doc is in the store, so the
+    latest among joined rows is the latest overall). The store side still
+    takes no shuffle Exchange — only the results side of the final join
+    repartitions."""
+    from alexandria_spark.sources.docstore import (
+        append_doc_store,
+        decorate_from_store,
+        drop_doc_store,
+        load_doc_store,
+        save_doc_store,
+    )
+
+    name = "ax_store_ver_dec"
+    drop_doc_store(spark, name)
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("old text "), F.col("id")).alias("text"),
+        F.lit(0).cast("long").alias("version"),
+    )
+    save_doc_store(docs, name, buckets=4)
+    upd = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("new text "), F.col("id")).alias("text"),
+        F.lit(2).cast("long").alias("version"),
+    )
+    append_doc_store(upd, name, buckets=4)
+    store = load_doc_store(spark, name)
+    results = spark.range(20).select(
+        F.col("id").alias("doc_id"), F.lit(1.0).alias("score"))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        dec = decorate_from_store(results, store)
+        rows = {r.doc_id: r.snippet for r in dec.collect()}
+        assert len(rows) == 20
+        assert rows[5] == "new text 5" and rows[15] == "old text 15"
+        # count in the FINAL plan only: an executed AQE plan's explain
+        # repeats the whole tree under '== Initial Plan =='
+        plan = _plan(dec).split("== Initial Plan ==")[0]
+        # exactly one shuffle Exchange (results side of the final join);
+        # the store scan feeds semi-join + aggregate + join shuffle-free
+        shuffles = plan.count("Exchange hashpartitioning")
+        assert shuffles == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    drop_doc_store(spark, name)

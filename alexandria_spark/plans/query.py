@@ -282,6 +282,14 @@ def search_phrase_long(
     # candidate sets are conjunction-sized (small); the semi join ships
     # them to the doc scan instead of shuffling the corpus
     cand_docs = docs.join(F.broadcast(cand), "doc_id", "left_semi")
+    # a VERSIONED doc store (streaming-ingested, pre-GC) may still hold
+    # superseded versions of an updated doc; verifying every version would
+    # emit duplicate doc_id result rows. Latest-wins on the candidate set
+    # only — same posture as decorate_from_store: the reduce runs above the
+    # semi join, so the full store is never re-aggregated
+    if "version" in cand_docs.columns:
+        cand_docs = cand_docs.groupBy("doc_id").agg(
+            F.expr(f"max_by({text_col}, version)").alias(text_col))
 
     from dataclasses import replace as _replace
 

@@ -490,3 +490,35 @@ def test_phrase_long_two_stage(spark, tmp_path):
             search(spark, idx2, phrase, "phrase", k=50, cfg=cfg2,
                    docs=docs).collect()}
     assert victim not in got2 and got2 == {d for d, _ in exp} - {victim}
+
+
+def test_phrase_long_versioned_docs_latest_wins(spark, tmp_path):
+    """search_phrase_long over a VERSIONED docs frame (a streaming doc store
+    still holding superseded versions pre-GC) must verify only each doc's
+    latest version: without the latest-wins reduce, a doc whose v0 AND v1
+    both contain the phrase comes back twice, and a doc whose phrase exists
+    only in the superseded v0 comes back at all."""
+    import pyspark.sql.functions as F
+
+    base = [(i, f"alpha beta gamma filler{i} tail") for i in range(1, 9)]
+    docs = spark.createDataFrame(base, ["doc_id", "text"])
+    cfg = EngineConfig(num_shards=4, block_size=16, shuffle_partitions=4,
+                       build_waves=1, n_grams=2)
+    idx = build_index(spark, docs, str(tmp_path / "ivp"), cfg)
+
+    # versioned store: doc 1 updated, phrase kept (must appear ONCE);
+    # doc 2 updated, phrase REMOVED in v1 (must not appear, although its
+    # bigram candidates and v0 text still match)
+    v0 = docs.withColumn("version", F.lit(0).cast("long"))
+    v1 = spark.createDataFrame(
+        [(1, "alpha beta gamma updated tail", 1),
+         (2, "alpha nothing here", 1)],
+        ["doc_id", "text", "version"],
+    ).withColumn("version", F.col("version").cast("long"))
+    store = v0.unionByName(v1)
+
+    got = search(spark, idx, "alpha beta gamma", "phrase", k=20, cfg=cfg,
+                 docs=store).collect()
+    ids = [int(r["doc_id"]) for r in got]
+    assert sorted(ids) == sorted(set(ids)), ids  # no duplicate doc rows
+    assert 1 in ids and 2 not in ids

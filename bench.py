@@ -505,6 +505,12 @@ def main() -> None:
     # bus and understate multi-executor scaling where every node brings its
     # own memory. The full 1/4/8/32 curve is reported for transparency.
     try:
+        if os.environ.get("SPARK_GRAFT_LATENCY_ONLY", "") == "1":
+            # mirror of SCALE_ONLY: skip the ~25-min scaling phase to
+            # capture a clean-weather latency/concurrency record; recorded
+            # so the artifact is never mistaken for a full session
+            out["phases_skipped"] = "scaling (SPARK_GRAFT_LATENCY_ONLY)"
+            raise _SkipPhase
         scale_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "240000"))
         corpus_path = os.path.join(tmp, "scale_corpus")
         spark = get_spark(app="bench-gen", cores=cpus, shuffle_partitions=max(32, cpus))
@@ -770,6 +776,8 @@ def main() -> None:
                 scaling_runs[32]["docs_per_sec"] / scaling_runs[8]["docs_per_sec"] / 4, 3
             )
         out["scaling"] = scaling_out
+    except _SkipPhase:
+        pass
     except Exception as exc:  # noqa: BLE001
         out["error_scaling"] = repr(exc)[:500]
 

@@ -359,11 +359,16 @@ class DocPartEngine:
                 from alexandria_spark.plans.checkpoint import parquet_dir_bytes
 
                 table_bytes = parquet_dir_bytes(index.postings_path)
-                # floor 8, then cap at shuffle_partitions (the cap wins when
-                # the configured parallelism is below the floor)
+                # floor 4, then cap at shuffle_partitions (the cap wins when
+                # the configured parallelism is below the floor). r7 swept
+                # 1/2/4/8 on the sf0.1 table: 4 is the concurrency sweet
+                # spot (8-in-flight 21.8 q/s, p50 0.33 s vs 17.2 q/s / 0.41 s
+                # at 8 partitions — fewer task slots per query means less
+                # slot contention under load) at ~40 ms idle cost; at scale
+                # the 64 MiB size term dominates and the floor is moot.
                 cache_partitions = min(
                     self.cfg.shuffle_partitions,
-                    max(8, -(-table_bytes // (64 << 20))),
+                    max(4, -(-table_bytes // (64 << 20))),
                 )
             self.blocks = self.blocks.repartition(
                 cache_partitions, F.col("bucket")

@@ -46,6 +46,11 @@ from alexandria_spark.plans.query import _query_term_ids, _shard_of
 # 100-TB-safe shape. 64 blocks ≈ 256k postings ≈ a few MB decoded.
 _P2_MAX_DRIVER_BLOCKS = 64
 
+# phase-2 flat completion: most (candidate x term) rows one query may ship
+# to the driver as (doc, score) pairs for the shuffle-free completion; past
+# it, the shuffle+groupBy completion bounds the transfer by len(cand).
+_P2_FLAT_MAX_ROWS = 2_000_000
+
 # phase-1 impact walk: most payload blocks the driver-orchestrated loop may
 # decode before conceding that early termination is not biting (adversarial
 # flat score distributions never satisfy the strict θ > U stop — all-equal
@@ -211,43 +216,60 @@ def _block_key_col():
 
 
 def _impact_meta(spark: SparkSession, index: Index, tid: int,
-                 num_shards: int, _blocks=None) -> pd.DataFrame | None:
+                 num_shards: int, _blocks=None,
+                 _pinned: pd.DataFrame | None = None) -> pd.DataFrame | None:
     """Metadata-only scan of ONE term's impact blocks, sorted by descending
     block max (the merged impact order across salts) — the single-term face
     of ``_impact_meta_multi`` so the guard/sort contract lives in exactly
     one place. None when the term trips the driver metadata guard."""
-    return _impact_meta_multi(spark, index, [tid], num_shards, _blocks)[tid]
+    return _impact_meta_multi(spark, index, [tid], num_shards, _blocks,
+                              _pinned)[tid]
 
 
 def _impact_meta_multi(spark: SparkSession, index: Index, tids: list[int],
-                       num_shards: int, _blocks=None) -> dict[int, pd.DataFrame | None]:
+                       num_shards: int, _blocks=None,
+                       _pinned: pd.DataFrame | None = None,
+                       ) -> dict[int, pd.DataFrame | None]:
     """All query terms' impact metadata in ONE job (per-term scans cost a
     scheduler round-trip each — on a warm engine that round-trip IS the
     query cost). Guard semantics match the per-term fetch exactly: the
     collective limit is n_terms x guard + 1, so exceeding it implies (by
     pigeonhole) at least one term alone exceeds the per-term guard; under
-    it, any individual term over the guard is marked None, same as before."""
+    it, any individual term over the guard is marked None, same as before.
+
+    ``_pinned`` (ImpactEngine) substitutes the engine's one-time
+    driver-pinned copy of the whole metadata table for the per-query scan:
+    zero Spark jobs here on a warm engine. The per-term guard still
+    applies; pinning itself is guard-bounded at engine init."""
     from alexandria_spark.plans.query import _META_GUARD_ROWS
 
-    shards = sorted({_shard_of(t, num_shards) for t in tids})
-    path = os.path.join(index.path, "postings_impact")
-    src = _blocks if _blocks is not None else spark.read.parquet(path)
-    cap = len(tids) * _META_GUARD_ROWS + 1
-    pdf = (
-        src.where(F.col("shard").isin(shards) & F.col("term_id").isin(list(tids)))
-        .select("term_id", "salt", "block_id", "n", "max_score")
-        .limit(cap)
-        .toPandas()
-    )
-    if len(pdf) >= cap:
-        return {t: None for t in tids}
+    if _pinned is not None:
+        pdf = _pinned[_pinned["term_id"].isin(tids)]
+    else:
+        shards = sorted({_shard_of(t, num_shards) for t in tids})
+        path = os.path.join(index.path, "postings_impact")
+        src = _blocks if _blocks is not None else spark.read.parquet(path)
+        cap = len(tids) * _META_GUARD_ROWS + 1
+        pdf = (
+            src.where(F.col("shard").isin(shards) & F.col("term_id").isin(list(tids)))
+            .select("term_id", "salt", "block_id", "n", "max_score")
+            .limit(cap)
+            .toPandas()
+        )
+        if len(pdf) >= cap:
+            return {t: None for t in tids}
     out: dict[int, pd.DataFrame | None] = {}
     for t in tids:
         m = pdf[pdf["term_id"] == t]
         out[t] = (
             None if len(m) > _META_GUARD_ROWS
             else m.drop(columns=["term_id"])
-            .sort_values("max_score", ascending=False).reset_index(drop=True)
+            # fully-keyed deterministic order: the walk (and its _stats
+            # accounting) must not depend on scan row order, which differs
+            # between a per-query fetch and the engine's pinned copy
+            .sort_values(["max_score", "salt", "block_id"],
+                         ascending=[False, True, True], kind="mergesort")
+            .reset_index(drop=True)
         )
     return out
 
@@ -260,10 +282,18 @@ def _prefetch_first_batches(src, readers: dict[int, "_ImpactBlockReader"],
     Later misses fall back to the reader's own doubling fetches; pure IO
     batching, results unchanged."""
     conds, firsts = [], {}
+    # when the whole query touches few blocks (short lists — known from the
+    # metadata), seed EVERYTHING in the one job: the walk then never pays a
+    # mid-loop fetch job. Long lists keep the k-sized prefix + lazy doubling
+    # so driver bytes stay proportional to blocks actually read.
+    total_blocks = sum(len(metas[t]) for t in readers)
     for t, rd in readers.items():
         m = metas[t]
-        cum = m["n"].to_numpy(np.int64).cumsum()
-        first = min(int(np.searchsorted(cum, k) + 1), len(m))
+        if total_blocks <= _P2_MAX_DRIVER_BLOCKS:
+            first = len(m)
+        else:
+            cum = m["n"].to_numpy(np.int64).cumsum()
+            first = min(int(np.searchsorted(cum, k) + 1), len(m))
         firsts[t] = first
         sel = m.iloc[0:first]
         conds.append(
@@ -382,7 +412,9 @@ def _drop_deleted_u(docs_u: np.ndarray, scores: np.ndarray,
 def impact_single_topk(spark: SparkSession, index: Index, query: str,
                        k: int = 10, cfg: EngineConfig | None = None,
                        _stats: dict | None = None,
-                       _blocks=None) -> list[tuple[int, float]]:
+                       _blocks=None,
+                       _meta_pinned: pd.DataFrame | None = None,
+                       ) -> list[tuple[int, float]]:
     """Exact single-term top-k over the impact table: decode blocks in
     impact order, stop when the kth collected score >= the next block's
     max_score (ties included via >=... strictly: stop when kth > next max,
@@ -405,7 +437,8 @@ def impact_single_topk(spark: SparkSession, index: Index, query: str,
                                 _doc_blocks=_blocks)
     if _blocks is None:  # pin meta scan + payload fetches to one snapshot
         _blocks = _pinned_scan(spark, index, "postings_impact")
-    meta = _impact_meta(spark, index, tid, cfg.num_shards, _blocks)
+    meta = _impact_meta(spark, index, tid, cfg.num_shards, _blocks,
+                        _meta_pinned)
     if meta is None:  # metadata guard tripped — exact distributed fallback
         return _search_fallback(spark, index, query, "or", k, cfg, _stats,
                                 _doc_blocks=_blocks)
@@ -463,7 +496,10 @@ def impact_single_topk(spark: SparkSession, index: Index, query: str,
 def impact_or_topk(spark: SparkSession, index: Index, query: str,
                    k: int = 10, cfg: EngineConfig | None = None,
                    _stats: dict | None = None, _blocks=None,
-                   _doc_blocks=None) -> list[tuple[int, float]]:
+                   _doc_blocks=None,
+                   _meta_pinned: pd.DataFrame | None = None,
+                   _doc_meta_pinned: pd.DataFrame | None = None,
+                   ) -> list[tuple[int, float]]:
     """Exact multi-term disjunctive top-k over the impact layout: TAAT with
     per-block upper bounds (the reference's score-ordered serving,
     sharded_builder.h:216-228, strengthened to per-block bounds).
@@ -488,7 +524,8 @@ def impact_or_topk(spark: SparkSession, index: Index, query: str,
     if not term_ids:
         return []
     if len(term_ids) == 1:
-        return impact_single_topk(spark, index, query, k, cfg, _stats, _blocks)
+        return impact_single_topk(spark, index, query, k, cfg, _stats, _blocks,
+                                  _meta_pinned)
     if not _deletes_gate(index):  # mass deletion: serve distributed
         return _search_fallback(spark, index, query, "or", k, cfg, _stats,
                                 _doc_blocks=_doc_blocks)
@@ -498,7 +535,8 @@ def impact_or_topk(spark: SparkSession, index: Index, query: str,
         _blocks = _pinned_scan(spark, index, "postings_impact")
     if _doc_blocks is None:  # same for the phase-2 completion table
         _doc_blocks = _pinned_scan(spark, index, "postings")
-    metas = _impact_meta_multi(spark, index, term_ids, cfg.num_shards, _blocks)
+    metas = _impact_meta_multi(spark, index, term_ids, cfg.num_shards, _blocks,
+                               _meta_pinned)
     if any(m is None for m in metas.values()):
         # a hot term tripped the metadata guard: the driver-orchestrated
         # impact walk would hold its block list — serve the whole query
@@ -571,12 +609,47 @@ def impact_or_topk(spark: SparkSession, index: Index, query: str,
         ptr[t] += 1
         p1_read += 1
 
+    drained = 0
+    if all(len(rd.rows) >= len(metas[t]) for t, rd in readers.items()):
+        # every remaining block's payload is ALREADY on the driver (the
+        # combined prefetch seeds whole short lists): draining them locally
+        # costs zero jobs and makes the sums exact, where the phase-2
+        # completion would re-decode the same blocks through a Spark job.
+        # Counted as blocks_drained, NOT blocks_read_p1 — the walk's own
+        # early-termination accounting stays meaningful.
+        for t, rd in readers.items():
+            while ptr[t] < len(metas[t]):
+                dec = decode_blocks(pd.DataFrame([rd.rows[ptr[t]]]))
+                du, sc = _drop_deleted_u(
+                    dec["doc_id"].to_numpy().view(np.uint64),
+                    dec["score"].to_numpy(np.float64), deleted_u,
+                )
+                chunks[t].append((du, sc))
+                ptr[t] += 1
+                drained += 1
+
     docs_u_arr, a_arr = _accumulate()
     if len(docs_u_arr) == 0:
         if _stats is not None:
             _stats.update(blocks_read_p1=p1_read, blocks_total=sum(
                 len(m) for m in metas.values()), blocks_fetched_p2=0)
         return []
+
+    if all(ptr[t] >= len(metas[t]) for t in readers):
+        # the walk exhausted EVERY term's block list (short lists — the
+        # common small-query shape): the accumulated partial sums are
+        # already the exact scores, so the phase-2 completion job would
+        # only recompute them. Skip it.
+        if _stats is not None:
+            _stats.update(
+                blocks_read_p1=p1_read,
+                blocks_total=sum(len(m) for m in metas.values()),
+                blocks_fetched_p2=0, n_candidates=0,
+                blocks_drained=drained,
+            )
+        di = docs_u_arr.view(np.int64)
+        top = np.lexsort((docs_u_arr, -a_arr))[:k]
+        return [(int(di[i]), float(a_arr[i])) for i in top]
 
     # candidate cut: ub(d) = a(d) + Σ residuals of terms that haven't shown d
     ub = a_arr.copy()
@@ -601,7 +674,8 @@ def impact_or_topk(spark: SparkSession, index: Index, query: str,
     cand = docs_u_arr[cand_mask].view(np.int64)
 
     exact, p2_blocks = _exact_scores_docsorted(spark, index, term_ids, cand,
-                                               cfg, _doc_blocks)
+                                               cfg, _doc_blocks,
+                                               _doc_meta_pinned)
     if _stats is not None:
         _stats.update(
             blocks_read_p1=p1_read,
@@ -618,7 +692,9 @@ def impact_or_topk(spark: SparkSession, index: Index, query: str,
 def _exact_scores_docsorted(spark: SparkSession, index: Index,
                             term_ids: list[int], cand: np.ndarray,
                             cfg: EngineConfig,
-                            _doc_blocks=None) -> tuple[dict[int, float], int]:
+                            _doc_blocks=None,
+                            _doc_meta_pinned: pd.DataFrame | None = None,
+                            ) -> tuple[dict[int, float], int]:
     """Exact OR scores for the candidate docs from the doc-sorted postings.
 
     Selective candidate sets (block pruning keeps few blocks): one job
@@ -644,6 +720,42 @@ def _exact_scores_docsorted(spark: SparkSession, index: Index,
         return {}, 0
 
     def _complete_distributed() -> dict[int, float]:
+        # ONE shuffle-free job when (cand x terms) is driver-small: decode,
+        # filter to the candidate set inside the task (sorted-array
+        # membership, no broadcast join), ship one (doc, score-f32) row per
+        # (term, doc) hit, and sum doc-major on the driver — the exact
+        # summation order of the driver-blocks path below, so the two
+        # completions are bit-identical. Past the row cap (hot ORs with
+        # huge candidate sets at scale), the previous shuffle+groupBy path
+        # bounds the driver transfer by len(cand) regardless of term count.
+        if len(cand) * len(term_ids) <= _P2_FLAT_MAX_ROWS:
+            import pyspark.sql.types as T
+
+            cu = np.sort(cand.view(np.uint64))
+            schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                                   T.StructField("score", T.FloatType())])
+
+            def fn(batches):
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    dec = decode_blocks(pdf)
+                    du = dec["doc_id"].to_numpy().view(np.uint64)
+                    pos = np.minimum(np.searchsorted(cu, du), len(cu) - 1)
+                    hit = cu[pos] == du
+                    if hit.any():
+                        yield dec.loc[hit, ["doc_id", "score"]]
+
+            pdf = blocks.mapInPandas(fn, schema).toPandas()
+            if len(pdf) == 0:
+                return {}
+            dh = pdf["doc_id"].to_numpy(np.int64)
+            sh = pdf["score"].to_numpy(np.float64)
+            order = np.lexsort((sh, dh))
+            dh, sh = dh[order], sh[order]
+            uniq, starts = np.unique(dh, return_index=True)
+            return dict(zip(uniq.tolist(),
+                            np.add.reduceat(sh, starts).tolist()))
         keys = spark.createDataFrame(
             [(int(x),) for x in cand.tolist()], "doc_id long"
         )
@@ -656,8 +768,11 @@ def _exact_scores_docsorted(spark: SparkSession, index: Index,
         )
         return {int(r["doc_id"]): float(r["s"]) for r in rows}
 
-    meta = blocks.select("term_id", "salt", "block_id",
-                         "min_doc", "max_doc").limit(_META_GUARD_ROWS + 1).toPandas()
+    if _doc_meta_pinned is not None:  # warm engine: zero-job block pruning
+        meta = _doc_meta_pinned[_doc_meta_pinned["term_id"].isin(term_ids)]
+    else:
+        meta = blocks.select("term_id", "salt", "block_id",
+                             "min_doc", "max_doc").limit(_META_GUARD_ROWS + 1).toPandas()
     if len(meta) > _META_GUARD_ROWS:
         # metadata guard: skip driver-side block pruning entirely
         # (candidate set is bounded by the phase-1 prefix)
@@ -711,8 +826,10 @@ class ImpactEngine:
             os.path.join(index.path, "postings_impact")
         )
         self.doc_blocks = index.postings(spark)
+        self.meta_pinned: pd.DataFrame | None = None
+        self.doc_meta_pinned: pd.DataFrame | None = None
         if cache:
-            from alexandria_spark.plans.query import cache_coalesce
+            from alexandria_spark.plans.query import _META_GUARD_ROWS, cache_coalesce
 
             self.blocks = cache_coalesce(
                 self.blocks, os.path.join(index.path, "postings_impact")
@@ -722,17 +839,37 @@ class ImpactEngine:
                 self.doc_blocks, index.postings_path
             ).cache()
             self.doc_blocks.count()
+            # one-time driver pin of BOTH tables' block metadata (payloads
+            # stay on the executors) — a warm query then plans its walk and
+            # its phase-2 pruning without any metadata jobs: the per-query
+            # Spark jobs drop from ~5 to the 1-2 payload fetches. Guarded
+            # exactly like every other driver metadata fetch: past
+            # _META_GUARD_ROWS the engine serves identically via per-query
+            # scans (None => cold-path behavior). The pinned copy is as
+            # consistent as the cached scans it mirrors: both snapshot init
+            # time, so staleness semantics are unchanged.
+            m = (self.blocks.select("term_id", "salt", "block_id", "n",
+                                    "max_score")
+                 .limit(_META_GUARD_ROWS + 1).toPandas())
+            self.meta_pinned = None if len(m) > _META_GUARD_ROWS else m
+            dm = (self.doc_blocks.select("term_id", "salt", "block_id",
+                                         "min_doc", "max_doc")
+                  .limit(_META_GUARD_ROWS + 1).toPandas())
+            self.doc_meta_pinned = None if len(dm) > _META_GUARD_ROWS else dm
 
     def single_topk(self, query: str, k: int = 10,
                     _stats: dict | None = None) -> list[tuple[int, float]]:
         return impact_single_topk(self.spark, self.index, query, k, self.cfg,
-                                  _stats, _blocks=self.blocks)
+                                  _stats, _blocks=self.blocks,
+                                  _meta_pinned=self.meta_pinned)
 
     def or_topk(self, query: str, k: int = 10,
                 _stats: dict | None = None) -> list[tuple[int, float]]:
         return impact_or_topk(self.spark, self.index, query, k, self.cfg,
                               _stats, _blocks=self.blocks,
-                              _doc_blocks=self.doc_blocks)
+                              _doc_blocks=self.doc_blocks,
+                              _meta_pinned=self.meta_pinned,
+                              _doc_meta_pinned=self.doc_meta_pinned)
 
     def unpersist(self) -> None:
         self.blocks.unpersist()

@@ -593,6 +593,7 @@ def build_index(
     dl_path = os.path.join(index_path, "doc_lengths")
     ts_path = os.path.join(index_path, "term_stats")
     meta_path = os.path.join(index_path, "meta.json")
+    hot_df: dict[int, int] | None = None  # filled in-driver when stage 2 ran here
     if not log.is_done("stage2_stats", fp):
         t0 = time.time()
         if materialize_stage1:
@@ -653,6 +654,12 @@ def build_index(
             # exact int sum then one float division — matches the oracle's
             # (and Spark avg's) semantics, unlike pandas' pairwise mean
             avg_dl = (float(int(dl_pd["val"].sum())) / n_docs) if n_docs else 0.0
+            # the stats are already in driver memory: derive the hot-term
+            # dict here and skip the term_stats re-read job below (resume
+            # and the distributed-stats fallback still take the read path)
+            hot_pd = ts_pd[ts_pd["val"] > cfg.max_postings_per_salt]
+            hot_df = {int(t): int(d) for t, d in
+                      zip(hot_pd["key"], hot_pd["val"])}
         meta = {
             "n_docs": n_docs,
             "avg_dl": avg_dl,
@@ -673,12 +680,13 @@ def build_index(
     # hot terms (df above the salt cap) — a handful of keywords even at
     # 10^12 files; their exact dfs ride along as a broadcast dict so salted
     # groups can still score correctly without a vocabulary join.
-    hot_df = {
-        int(r["term_id"]): int(r["df"])
-        for r in spark.read.parquet(ts_path)
-        .where(F.col("df") > cfg.max_postings_per_salt)
-        .collect()
-    }
+    if hot_df is None:
+        hot_df = {
+            int(r["term_id"]): int(r["df"])
+            for r in spark.read.parquet(ts_path)
+            .where(F.col("df") > cfg.max_postings_per_salt)
+            .collect()
+        }
 
     # ---- stage 3: per-wave block build ----------------------------------
     waves_done = 0

@@ -88,30 +88,37 @@ def build_docpart_index(
     os.makedirs(index_path, exist_ok=True)
     idx = DocPartitionedIndex(index_path)
 
-    # corpus stats (same light pass as the term layout)
+    # corpus stats (same light pass as the term layout). The grouped stats
+    # are vocab+docs-sized — persist them so the doc-length aggregate and
+    # the hot-term pull read ONE tokenizer pass instead of re-tokenizing
+    # the whole corpus for each (was two full passes; one is a pure win at
+    # every scale)
     stats_pdf = (
         corpus_stats_pass(docs, cfg, id_col, text_col)
         .groupBy("kind", "key").agg(F.sum("val").alias("val"))
-    )
-    term_stats = stats_pdf.where(F.col("kind") == 1).select(
-        F.col("key").alias("term_id"), F.col("val").alias("df")
-    )
-    dl = stats_pdf.where(F.col("kind") == 0)
-    st = dl.agg(F.count("*").alias("n"), F.avg("val").alias("avg")).collect()[0]
-    n_docs, avg_dl = int(st["n"] or 0), float(st["avg"] or 0.0)
-    with open(os.path.join(index_path, "meta.json"), "w") as fh:
-        json.dump(
-            {"n_docs": n_docs, "avg_dl": avg_dl, "config": asdict(cfg),
-             "layout": "doc", "n_buckets": n_buckets,
-             "fingerprint": "docpart", "run_id": "docpart"}, fh,
+    ).persist()
+    try:
+        term_stats = stats_pdf.where(F.col("kind") == 1).select(
+            F.col("key").alias("term_id"), F.col("val").alias("df")
         )
+        dl = stats_pdf.where(F.col("kind") == 0)
+        st = dl.agg(F.count("*").alias("n"), F.avg("val").alias("avg")).collect()[0]
+        n_docs, avg_dl = int(st["n"] or 0), float(st["avg"] or 0.0)
+        with open(os.path.join(index_path, "meta.json"), "w") as fh:
+            json.dump(
+                {"n_docs": n_docs, "avg_dl": avg_dl, "config": asdict(cfg),
+                 "layout": "doc", "n_buckets": n_buckets,
+                 "fingerprint": "docpart", "run_id": "docpart"}, fh,
+            )
 
-    # hot terms (df above the salt cap): a handful even at web scale —
-    # their exact dfs ride in a broadcast dict, like the term layout
-    hot_df = {
-        int(r["term_id"]): int(r["df"])
-        for r in term_stats.where(F.col("df") > cfg.max_postings_per_salt).collect()
-    }
+        # hot terms (df above the salt cap): a handful even at web scale —
+        # their exact dfs ride in a broadcast dict, like the term layout
+        hot_df = {
+            int(r["term_id"]): int(r["df"])
+            for r in term_stats.where(F.col("df") > cfg.max_postings_per_salt).collect()
+        }
+    finally:
+        stats_pdf.unpersist()
     # TWO full-data shuffles total (was three): a term-sharded scoring
     # pre-pass (blockify's one-shuffle local-df machinery emitting scored
     # postings — no vocabulary-sized term_stats join), then the one

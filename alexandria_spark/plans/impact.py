@@ -616,17 +616,21 @@ def impact_or_topk(spark: SparkSession, index: Index, query: str,
         # costs zero jobs and makes the sums exact, where the phase-2
         # completion would re-decode the same blocks through a Spark job.
         # Counted as blocks_drained, NOT blocks_read_p1 — the walk's own
-        # early-termination accounting stays meaningful.
+        # early-termination accounting stays meaningful. One decode call
+        # per term (blocks in walk order, postings in block order — the
+        # same concatenated sequence the per-block loop produced).
         for t, rd in readers.items():
-            while ptr[t] < len(metas[t]):
-                dec = decode_blocks(pd.DataFrame([rd.rows[ptr[t]]]))
-                du, sc = _drop_deleted_u(
-                    dec["doc_id"].to_numpy().view(np.uint64),
-                    dec["score"].to_numpy(np.float64), deleted_u,
-                )
-                chunks[t].append((du, sc))
-                ptr[t] += 1
-                drained += 1
+            if ptr[t] >= len(metas[t]):
+                continue
+            rows = [rd.rows[i] for i in range(ptr[t], len(metas[t]))]
+            dec = decode_blocks(pd.DataFrame(rows))
+            du, sc = _drop_deleted_u(
+                dec["doc_id"].to_numpy().view(np.uint64),
+                dec["score"].to_numpy(np.float64), deleted_u,
+            )
+            chunks[t].append((du, sc))
+            drained += len(rows)
+            ptr[t] = len(metas[t])
 
     docs_u_arr, a_arr = _accumulate()
     if len(docs_u_arr) == 0:

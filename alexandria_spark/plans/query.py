@@ -473,7 +473,14 @@ def search_bmw(
 
     def _eval_buckets(bucket_ids: list[int], lo_u: np.uint64 | None = None):
         """Decode blocks overlapping the buckets; exact per-doc scores for
-        docs INSIDE the buckets."""
+        docs INSIDE the buckets.
+
+        The in-bucket filter runs INSIDE the pruned Spark job (executor
+        side), so the driver receives one (doc, score) pair per in-bucket
+        posting — bytes proportional to the docs being evaluated — instead
+        of every touched block's whole payload. Row order (partition-major,
+        stream order within partitions) is exactly the order the old
+        driver-side mask produced, so the f64 accumulation is bit-identical."""
         umax = np.uint64(0xFFFFFFFFFFFFFFFF)
         bid = np.array(bucket_ids, dtype=np.int64)
         lo = edges[bid]
@@ -488,16 +495,29 @@ def search_bmw(
         kept = meta[touch]
         keys = spark.createDataFrame(kept[["term_id", "salt", "block_id"]])
         sel = blocks.join(F.broadcast(keys), ["term_id", "salt", "block_id"], "left_semi")
-        pdf = _decode_map(sel).toPandas()
+        lo_c, hi_c = lo.copy(), hi_inc.copy()  # plain arrays into the closure
+
+        def fn(batches):
+            for bpdf in batches:
+                if len(bpdf) == 0:
+                    continue
+                dec = decode_blocks(bpdf)
+                du = dec["doc_id"].to_numpy().view(np.uint64)
+                inside = np.zeros(len(du), dtype=bool)
+                for lo_i, hi_i in zip(lo_c, hi_c):
+                    inside |= (du >= lo_i) & (du <= hi_i)
+                if inside.any():
+                    yield dec.loc[inside, ["doc_id", "score"]]
+
+        pair_schema = StructType([
+            StructField("doc_id", LongType()),
+            StructField("score", FloatType()),
+        ])
+        pdf = sel.mapInPandas(fn, pair_schema).toPandas()
         if len(pdf) == 0:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
         docs_u = _u(pdf["doc_id"].to_numpy())
-        # keep only docs inside the requested buckets (their scores are exact)
-        inside = np.zeros(len(docs_u), dtype=bool)
-        for lo_i, hi_i in zip(lo, hi_inc):
-            inside |= (docs_u >= lo_i) & (docs_u <= hi_i)
-        docs_u = docs_u[inside]
-        scores = pdf["score"].to_numpy(np.float64)[inside]
+        scores = pdf["score"].to_numpy(np.float64)
         uniq, inv, counts = np.unique(docs_u, return_inverse=True, return_counts=True)
         summed = np.zeros(len(uniq))
         np.add.at(summed, inv, scores)
@@ -534,9 +554,11 @@ def search_bmw(
     p1 = set(phase1)
     remaining = [b for b in order if feasible[b] and b not in p1 and ub[b] >= tau]
     if remaining and float(sum(docs_est[b] for b in remaining)) > 2_000_000:
-        # adversarial score distribution: the bound prunes almost nothing,
-        # and phase 2 would ship a large share of the posting stream to the
-        # driver — serve exactly via the distributed aggregation instead
+        # adversarial score distribution: the bound prunes almost nothing.
+        # _eval_buckets ships only in-bucket (doc, score) pairs now, but ~2M
+        # docs' pairs per term is still tens of MB of driver transfer for a
+        # query the fully distributed aggregation serves with k rows —
+        # serve exactly via that path instead
         return _collect_topk(spark, index, query, mode, k, cfg)
     if remaining:
         d2, s2 = _drop_deleted(*_eval_buckets(remaining))

@@ -244,6 +244,78 @@ def plans(sf_dir: str, out_dir: str) -> None:
     print("plans written to", out_dir)
 
 
+def impact_trace(sf_dir: str, out_dir: str, suffix: str) -> None:
+    """Driver-loop 'plan' artifact for the impact engine + bmw: per-query
+    Spark-job trace (count + descriptions are the plan of a driver-
+    orchestrated path) plus the explain of the constituent payload jobs."""
+    from alexandria_spark.config import EngineConfig
+    from alexandria_spark.plans.build import Index, build_index
+    from alexandria_spark.plans.impact import ImpactEngine, build_impact_postings
+    from alexandria_spark.plans.query import search_bmw
+    from alexandria_spark.session import get_spark
+
+    os.makedirs(out_dir, exist_ok=True)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cfg = EngineConfig(num_shards=64, shuffle_partitions=32, build_waves=2,
+                       block_size=4096, max_postings_per_salt=65536, keep_tf=False)
+    spark = get_spark(app="trace", cores=cpus, shuffle_partitions=max(32, cpus))
+    tmp = tempfile.mkdtemp(prefix="trace_")
+    docs = _read_docs(spark, sf_dir)
+    idx_path = os.path.join(tmp, "idx")
+    build_index(spark, docs, idx_path, cfg)
+    idx = Index(idx_path)
+    build_impact_postings(spark, idx, cfg)
+    ie = ImpactEngine(spark, idx, cfg)
+    sc = spark.sparkContext
+    st = sc.statusTracker()
+
+    for name, q in (("q_or_2_impact_warm", "merge sort"),
+                    ("q_or_3_impact_warm", "window agg filter"),
+                    ("q_single_impact_warm", "vector")):
+        ie.or_topk(q, 10)  # warm
+        jobs0 = st.getJobIdsForGroup() or []
+        stats = {}
+        t0 = time.time()
+        hits = ie.or_topk(q, 10, _stats=stats)
+        dt = time.time() - t0
+        jobs1 = st.getJobIdsForGroup() or []
+        new_jobs = sorted(set(jobs1) - set(jobs0))
+        lines = [
+            f"# {name} ({suffix}) — driver-orchestrated impact path",
+            f"query: {q!r}  k=10  warm ImpactEngine, sf_dir={sf_dir}",
+            f"wall: {dt*1000:.0f} ms",
+            f"spark jobs this query: {len(new_jobs)} (ids {new_jobs})",
+            f"stats: {stats}",
+            "",
+            "Payload-fetch source plan (cached impact scan):",
+        ]
+        p = ie.blocks.where("term_id = 0")._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        lines.append(p)
+        with open(os.path.join(out_dir, f"{name}_{suffix}.txt"), "w") as fh:
+            fh.write("\n".join(lines))
+
+    # bmw: job trace + hits (the per-bucket eval job's shape is in the code;
+    # the trace shows how many jobs/bytes a query costs end to end)
+    for name, q, m in (("engines_bmw_and", "table scan merge", "and"),
+                       ("engines_bmw_or", "merge sort", "or")):
+        search_bmw(spark, idx, q, m, 10, cfg)  # warm-ish (plans, parquet meta)
+        jobs0 = st.getJobIdsForGroup() or []
+        t0 = time.time()
+        hits = search_bmw(spark, idx, q, m, 10, cfg)
+        dt = time.time() - t0
+        new_jobs = sorted(set(st.getJobIdsForGroup() or []) - set(jobs0))
+        with open(os.path.join(out_dir, f"{name}_{suffix}.txt"), "w") as fh:
+            fh.write(
+                f"# {name} ({suffix}) — search_bmw collected path\n"
+                f"query: {q!r} mode={m} k=10\n"
+                f"wall: {dt*1000:.0f} ms\n"
+                f"spark jobs this query: {len(new_jobs)}\n"
+                f"hits: {hits}\n")
+    spark.stop()
+    print("traces written to", out_dir)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1]
     if mode == "buildprof":
@@ -256,5 +328,7 @@ if __name__ == "__main__":
         concurrency(sys.argv[2])
     elif mode == "plans":
         plans(sys.argv[2], sys.argv[3])
+    elif mode == "impact_trace":
+        impact_trace(sys.argv[2], sys.argv[3], sys.argv[4])
     else:
         raise SystemExit(f"unknown mode {mode}")

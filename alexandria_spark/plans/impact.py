@@ -308,10 +308,7 @@ def _prefetch_first_batches(src, readers: dict[int, "_ImpactBlockReader"],
     pdf = src.where(cond).toPandas()
     for t, rd in readers.items():
         mine = pdf[pdf["term_id"] == t]
-        by_key = dict(zip(_block_key_pd(mine), (r for _, r in mine.iterrows())))
-        for ofs, key in enumerate(_block_key_pd(metas[t].iloc[0:firsts[t]])):
-            rd.rows[ofs] = by_key[key]
-        rd.fetched_blocks += firsts[t]
+        rd.store(0, _block_key_pd(metas[t].iloc[0:firsts[t]]).tolist(), mine)
         rd.batch = max(rd.batch, firsts[t])
 
 
@@ -335,15 +332,35 @@ class _ImpactBlockReader:
         self.tid = tid
         self.meta = meta
         self.batch = max(1, first_batch)
-        self.rows: dict[int, pd.Series] = {}
+        # per-block DECODED postings (docs_u64, scores_f64): each fetched
+        # batch is decoded in ONE vectorized decode_blocks call and sliced
+        # per block — the walk then consumes plain array views instead of
+        # paying a 1-row-DataFrame decode per step (driver GIL time, which
+        # concurrent queries serialize on)
+        self.dec: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self.fetched_blocks = 0
         self.fetch_jobs = 0
 
-    def row(self, i: int) -> pd.Series:
-        if i not in self.rows:
+    def block(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        if i not in self.dec:
             self._fetch(i, min(i + self.batch, len(self.meta)))
             self.batch *= 2
-        return self.rows[i]
+        return self.dec[i]
+
+    def store(self, lo: int, keys: list[int], pdf: pd.DataFrame) -> None:
+        """Decode fetched block rows (one vectorized pass, meta order) into
+        per-block array slices at positions lo..lo+len(keys)-1."""
+        by_key = {k: j for j, k in enumerate(_block_key_pd(pdf))}
+        ordered = pdf.iloc[[by_key[k] for k in keys]]
+        dec = decode_blocks(ordered)
+        ns = ordered["n"].to_numpy(np.int64)
+        ends = np.cumsum(ns)
+        du = dec["doc_id"].to_numpy().view(np.uint64)
+        sc = dec["score"].to_numpy(np.float64)
+        for ofs in range(len(keys)):
+            s0 = int(ends[ofs] - ns[ofs])
+            self.dec[lo + ofs] = (du[s0:ends[ofs]], sc[s0:ends[ofs]])
+        self.fetched_blocks += len(keys)
 
     def _fetch(self, lo: int, hi: int) -> None:
         sel = self.meta.iloc[lo:hi]
@@ -355,10 +372,7 @@ class _ImpactBlockReader:
             .where(_block_key_col().isin(keys))
             .toPandas()
         )
-        by_key = dict(zip(_block_key_pd(pdf), (r for _, r in pdf.iterrows())))
-        for ofs, key in enumerate(keys):
-            self.rows[lo + ofs] = by_key[key]
-        self.fetched_blocks += len(keys)
+        self.store(lo, keys, pdf)
         self.fetch_jobs += 1
 
 
@@ -472,11 +486,8 @@ def impact_single_topk(spark: SparkSession, index: Index, query: str,
             # that terminates exactly at the cap keeps its finished work)
             return _search_fallback(spark, index, query, "or", k, cfg,
                                     _stats, _doc_blocks=_blocks)
-        dec = decode_blocks(pd.DataFrame([reader.row(i)]))
-        du, sc = _drop_deleted_u(
-            dec["doc_id"].to_numpy().view(np.uint64),
-            dec["score"].to_numpy(np.float64), deleted_u,
-        )
+        bdu, bsc = reader.block(i)
+        du, sc = _drop_deleted_u(bdu, bsc, deleted_u)
         docs.append(du.view(np.int64))
         scores.append(sc)
         n_collected += len(du)
@@ -599,38 +610,28 @@ def impact_or_topk(spark: SparkSession, index: Index, query: str,
             return _search_fallback(spark, index, query, "or", k, cfg,
                                     _stats, _doc_blocks=_doc_blocks)
         t = max(live, key=bound.__getitem__)
-        dec = decode_blocks(pd.DataFrame([readers[t].row(ptr[t])]))
-        du, sc = _drop_deleted_u(
-            dec["doc_id"].to_numpy().view(np.uint64),
-            dec["score"].to_numpy(np.float64), deleted_u,
-        )
+        bdu, bsc = readers[t].block(ptr[t])
+        du, sc = _drop_deleted_u(bdu, bsc, deleted_u)
         chunks[t].append((du, sc))
         n_seen_docs += len(du)
         ptr[t] += 1
         p1_read += 1
 
     drained = 0
-    if all(len(rd.rows) >= len(metas[t]) for t, rd in readers.items()):
-        # every remaining block's payload is ALREADY on the driver (the
-        # combined prefetch seeds whole short lists): draining them locally
-        # costs zero jobs and makes the sums exact, where the phase-2
-        # completion would re-decode the same blocks through a Spark job.
-        # Counted as blocks_drained, NOT blocks_read_p1 — the walk's own
-        # early-termination accounting stays meaningful. One decode call
-        # per term (blocks in walk order, postings in block order — the
-        # same concatenated sequence the per-block loop produced).
+    if all(len(rd.dec) >= len(metas[t]) for t, rd in readers.items()):
+        # every remaining block's postings are ALREADY decoded on the
+        # driver (the combined prefetch seeds whole short lists): draining
+        # them locally costs zero jobs and makes the sums exact, where the
+        # phase-2 completion would re-decode the same blocks through a
+        # Spark job. Counted as blocks_drained, NOT blocks_read_p1 — the
+        # walk's own early-termination accounting stays meaningful.
         for t, rd in readers.items():
-            if ptr[t] >= len(metas[t]):
-                continue
-            rows = [rd.rows[i] for i in range(ptr[t], len(metas[t]))]
-            dec = decode_blocks(pd.DataFrame(rows))
-            du, sc = _drop_deleted_u(
-                dec["doc_id"].to_numpy().view(np.uint64),
-                dec["score"].to_numpy(np.float64), deleted_u,
-            )
-            chunks[t].append((du, sc))
-            drained += len(rows)
-            ptr[t] = len(metas[t])
+            while ptr[t] < len(metas[t]):
+                bdu, bsc = rd.block(ptr[t])
+                du, sc = _drop_deleted_u(bdu, bsc, deleted_u)
+                chunks[t].append((du, sc))
+                ptr[t] += 1
+                drained += 1
 
     docs_u_arr, a_arr = _accumulate()
     if len(docs_u_arr) == 0:

@@ -50,6 +50,7 @@ from alexandria_spark.functions.hashing import i64_hash64
 from alexandria_spark.functions.tokenizer import query_terms, tokenize
 from alexandria_spark.plans.blocks import decode_blocks, varint_decode
 from alexandria_spark.plans.build import MIN_I64, Index
+from alexandria_spark.plans.checkpoint import parquet_dir_bytes
 
 POSTING_SCHEMA = StructType(
     [
@@ -74,6 +75,13 @@ RESULT_SCHEMA = StructType(
 # the driver — past the guard, search() skips pruning and search_bmw() falls
 # back to search()'s executor-side exact path.
 _META_GUARD_ROWS = 200_000
+
+# Below this much postings data on disk, a cold AND query decodes its terms'
+# blocks directly: the driver-side prune's metadata fetch is a whole Spark
+# job, and decoding a few hundred KB of payloads costs less than that
+# round-trip. At warehouse scale the prune always engages (and QueryEngine
+# pins the metadata once, so warm queries never pay the job either way).
+_PRUNE_MIN_BYTES = 64 << 20
 
 
 def _shard_of(term_id: int, num_shards: int) -> int:
@@ -200,11 +208,16 @@ def search(
         F.col("shard").isin(shards) & F.col("term_id").isin(term_ids)
     )
 
-    if mode == "and" and len(term_ids) > 1 and prune:
+    if (mode == "and" and len(term_ids) > 1 and prune
+            and parquet_dir_bytes(index.postings_path) >= _PRUNE_MIN_BYTES):
         # metadata-only read (column pruning keeps payloads out of this scan).
-        # Guard: driver-side pruning pays off only while the metadata is
-        # small; a pathological query over huge lists skips it (the decode
-        # path stays exact either way).
+        # Two-sided gate: below _PRUNE_MIN_BYTES on disk the per-query
+        # metadata round-trip (one Spark job) costs more than decoding the
+        # query terms' blocks outright, so the cold path skips straight to
+        # the decode (size probe is a driver-side stat, no job); past
+        # _META_GUARD_ROWS driver-side pruning would hold too much block
+        # metadata, so a pathological query over huge lists also skips it
+        # (the decode path stays exact either way).
         meta_df = blocks.select("term_id", "salt", "block_id", "min_doc", "max_doc")
         rows = meta_df.limit(_META_GUARD_ROWS + 1).toPandas()
         meta = None if len(rows) > _META_GUARD_ROWS else rows

@@ -10,6 +10,7 @@ Usage:
   python bench_extra.py gencorpus <n_docs> <out.parquet>
   python bench_extra.py latency <sf_dir>
   python bench_extra.py plans <sf_dir> <out_dir>
+  python bench_extra.py suitetimes <sf_dir>
 """
 
 from __future__ import annotations
@@ -207,6 +208,26 @@ def concurrency(sf_dir: str) -> None:
     print(json.dumps(out, indent=1))
 
 
+def suitetimes(sf_dir: str) -> None:
+    """Time every declared __spark_entry__ query individually with the noop
+    sink (guide §1.4/§1.5) — the per-operator coverage sweep cited in
+    OPTIMIZATION_r07.md."""
+    import __spark_entry__ as entry
+    from alexandria_spark.session import get_spark
+
+    spark = get_spark(app="suite-times",
+                      cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                      shuffle_partitions=32)
+    out = {}
+    for name, fn in entry.queries().items():
+        spark.sparkContext.setJobDescription(f"suite:{name}")
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 2)
+    spark.stop()
+    print(json.dumps(out))
+
+
 def plans(sf_dir: str, out_dir: str) -> None:
     """Capture .explain('formatted') for the warm engine query DataFrames."""
     from alexandria_spark.config import EngineConfig
@@ -326,6 +347,8 @@ if __name__ == "__main__":
         latency(sys.argv[2])
     elif mode == "conc":
         concurrency(sys.argv[2])
+    elif mode == "suitetimes":
+        suitetimes(sys.argv[2])
     elif mode == "plans":
         plans(sys.argv[2], sys.argv[3])
     elif mode == "impact_trace":

@@ -43,6 +43,23 @@ def test_shard_partition_pruning(spark, idx):
     assert "term_id" in plan.split("PushedFilters")[1][:200]
 
 
+def test_cold_prune_gate_small_index(spark, idx, monkeypatch):
+    """Below _PRUNE_MIN_BYTES of postings, the cold AND path must skip the
+    driver-side block prune (no metadata job, no broadcast semi join in the
+    plan) and still return exactly what the pruned path returns."""
+    import alexandria_spark.plans.query as qmod
+
+    q = "def return"
+    gated = search(spark, idx, q, mode="and", k=10)
+    # the tiny fixture index sits far under the 64 MiB gate: no semi join
+    assert "BroadcastHashJoin" not in _plan(gated)
+    # force the prune back on: same results, semi-join allowed to appear
+    monkeypatch.setattr(qmod, "_PRUNE_MIN_BYTES", 0)
+    pruned = search(spark, idx, q, mode="and", k=10)
+    assert [tuple(r) for r in gated.collect()] == \
+           [tuple(r) for r in pruned.collect()]
+
+
 def test_topk_is_take_ordered(spark, idx):
     q = search(spark, idx, "def return", mode="or", k=10)
     assert "TakeOrderedAndProject" in _plan(q)

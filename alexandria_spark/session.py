@@ -41,6 +41,12 @@ def get_spark(
         # lz4 shuffle compression stays ON even locally: it reduces dirty
         # page-cache writeback, which measured faster than raw bytes here
         .config("spark.ui.enabled", "false")
+        # the console progress bar writes \r-terminated updates to stderr
+        # with no trailing newline, so under a merged-capture harness the
+        # final JSON report line can end up byte-adjacent to "[Stage ..]\r"
+        # junk. Keep it off: machine-read output stays line-clean and the
+        # captured tail spends its bytes on the report, not on bars.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.host", "127.0.0.1")
     )
     for k, v in (extra or {}).items():
